@@ -1,0 +1,446 @@
+"""Datasets for sequential recommendation.
+
+Behavioral equivalent of the reference data layer (``data/dataset.py`` in
+DR4SR) rebuilt for a TPU input pipeline:
+
+* rows live as **host numpy arrays** (never device tensors — batches are
+  transferred/sharded by the trainer, keeping the input pipeline off the
+  device-critical path);
+* every array has a **fixed static shape** ``[N, max_seq_len]`` so batches
+  slice out of them without ragged work;
+* both the reference ``.pth`` row-list format (``train{suffix}.pth`` rows of
+  ``[user_id, item_seq, target, seqlen, label, domain_id(, hist)]``,
+  cf. ``data/dataset.py:79-91``) and our native ``.npz`` format are accepted.
+
+Dataset variants mirror the reference classes:
+``general``->:class:`SeqDataset`, ``pattern``->:class:`PatternDataset`,
+``condense``->:class:`CondenseDataset`, ``split``->:class:`SplitDataset`,
+``selection``->:class:`SelectionDataset` (``model/basemodel.py:63-77``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+# Default dataset root, relative to the CWD like the reference ('dataset/').
+DATASET_ROOT = os.environ.get("DR4SR_DATASET_ROOT", "dataset")
+
+
+# ---------------------------------------------------------------------------
+# Row container
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RowData:
+    """A columnar batch-of-rows with fixed-width sequences.
+
+    ``item_id``/``label`` are ``[N, L]`` for training rows (per-position
+    targets) and ``[N]`` for eval rows (single target).
+    """
+
+    user_id: np.ndarray  # [N] int32
+    in_item_id: np.ndarray  # [N, L] int32
+    item_id: np.ndarray  # [N, L] or [N] int32
+    seqlen: np.ndarray  # [N] int32
+    label: np.ndarray  # [N, L] or [N] float32
+    domain_id: np.ndarray  # [N] int32 (one domain per row)
+    user_hist: Optional[np.ndarray] = None  # [N, L] int32 (eval only)
+
+    def __len__(self) -> int:
+        return int(self.user_id.shape[0])
+
+    @property
+    def max_seq_len(self) -> int:
+        return int(self.in_item_id.shape[1])
+
+    def select(self, index: np.ndarray) -> "RowData":
+        return RowData(
+            user_id=self.user_id[index],
+            in_item_id=self.in_item_id[index],
+            item_id=self.item_id[index],
+            seqlen=self.seqlen[index],
+            label=self.label[index],
+            domain_id=self.domain_id[index],
+            user_hist=None if self.user_hist is None else self.user_hist[index],
+        )
+
+    @staticmethod
+    def concat(parts: Sequence["RowData"]) -> "RowData":
+        hist = None
+        if all(p.user_hist is not None for p in parts):
+            hist = np.concatenate([p.user_hist for p in parts])
+        return RowData(
+            user_id=np.concatenate([p.user_id for p in parts]),
+            in_item_id=np.concatenate([p.in_item_id for p in parts]),
+            item_id=np.concatenate([p.item_id for p in parts]),
+            seqlen=np.concatenate([p.seqlen for p in parts]),
+            label=np.concatenate([p.label for p in parts]),
+            domain_id=np.concatenate([p.domain_id for p in parts]),
+            user_hist=hist,
+        )
+
+    def save_npz(self, path: str) -> None:
+        arrays = dataclasses.asdict(self)
+        arrays = {k: v for k, v in arrays.items() if v is not None}
+        np.savez_compressed(path, **arrays)
+
+
+def rows_from_lists(rows: List[list], is_train: bool, max_seq_len: int) -> RowData:
+    """Convert reference-style row lists into :class:`RowData`.
+
+    Train rows: ``[user_id, seq(list[L]), target(list[L]), seqlen,
+    label(list[L]), domain_id(list[L])]``; eval rows carry a scalar target and
+    label and (implicitly) ``user_hist == seq`` (``data/dataset.py:86-89``).
+    """
+    n = len(rows)
+    user_id = np.zeros(n, np.int32)
+    in_item = np.zeros((n, max_seq_len), np.int32)
+    seqlen = np.zeros(n, np.int32)
+    domain = np.zeros(n, np.int32)
+    if is_train:
+        item = np.zeros((n, max_seq_len), np.int32)
+        label = np.zeros((n, max_seq_len), np.float32)
+    else:
+        item = np.zeros(n, np.int32)
+        label = np.zeros(n, np.float32)
+
+    def fit(seq):
+        seq = list(seq)[:max_seq_len]
+        return seq + [0] * (max_seq_len - len(seq))
+
+    for i, row in enumerate(rows):
+        user_id[i] = row[0]
+        in_item[i] = fit(row[1])
+        seqlen[i] = min(int(row[3]), max_seq_len)
+        dom = row[5]
+        domain[i] = dom[0] if isinstance(dom, (list, tuple)) else int(dom)
+        if is_train:
+            item[i] = fit(row[2])
+            label[i] = fit(row[4])
+        else:
+            item[i] = int(row[2])
+            label[i] = float(row[4])
+
+    hist = in_item.copy() if not is_train else None
+    return RowData(user_id, in_item, item, seqlen, label, domain, hist)
+
+
+def load_rows(path_no_ext: str, is_train: bool, max_seq_len: int) -> RowData:
+    """Load rows from ``<path>.npz`` (native) or ``<path>.pth`` (reference)."""
+    npz_path = path_no_ext + ".npz"
+    pth_path = path_no_ext + ".pth"
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            data = {k: z[k] for k in z.files}
+        return RowData(
+            user_id=data["user_id"].astype(np.int32),
+            in_item_id=data["in_item_id"].astype(np.int32),
+            item_id=data["item_id"].astype(np.int32),
+            seqlen=data["seqlen"].astype(np.int32),
+            label=data["label"].astype(np.float32),
+            domain_id=data["domain_id"].astype(np.int32),
+            user_hist=data.get("user_hist"),
+        )
+    if os.path.exists(pth_path):
+        import torch  # local import: torch is an IO-only dependency
+
+        rows = torch.load(pth_path, weights_only=False)
+        return rows_from_lists(rows, is_train, max_seq_len)
+    raise FileNotFoundError(f"no dataset file at {path_no_ext}{{.npz,.pth}}")
+
+
+# ---------------------------------------------------------------------------
+# Dataset classes
+# ---------------------------------------------------------------------------
+
+
+def _load_meta(root: str, name: str, domains: Sequence[str]) -> Dict[str, Any]:
+    """Id-space metadata: num_users/num_items + per-domain id lists.
+
+    Prefers a precomputed ``meta.npz`` per domain; falls back to scanning
+    ``inter.csv`` like the reference (``data/dataset.py:56-65``).
+    """
+    num_users, num_items = 0, 0
+    domain_items: Dict[str, np.ndarray] = {}
+    domain_users: Dict[str, np.ndarray] = {}
+    for dom in domains:
+        dom_dir = os.path.join(root, name, dom)
+        meta_path = os.path.join(dom_dir, "meta.npz")
+        if os.path.exists(meta_path):
+            with np.load(meta_path) as z:
+                num_users = max(num_users, int(z["num_users"]))
+                num_items = max(num_items, int(z["num_items"]))
+                domain_items[dom] = z["domain_items"].astype(np.int64)
+                domain_users[dom] = z["domain_users"].astype(np.int64)
+        else:
+            import pandas as pd
+
+            df = pd.read_csv(os.path.join(dom_dir, "inter.csv"))
+            num_users = max(num_users, int(df["user_id"].max()) + 1)
+            num_items = max(num_items, int(df["item_id"].max()) + 1)
+            domain_items[dom] = np.sort(df["item_id"].unique())
+            domain_users[dom] = np.sort(df["user_id"].unique())
+    return {
+        "num_users": num_users,
+        "num_items": num_items,
+        "domain_items": domain_items,
+        "domain_users": domain_users,
+    }
+
+
+class SeqDataset:
+    """The ``general`` dataset: one row-store per phase, domains concatenated
+    for training and kept separate for eval (reference ``SeparateDataset``)."""
+
+    def __init__(self, config: Dict[str, Any], phase: str = "train", root: Optional[str] = None):
+        self.config = config
+        self.phase = phase
+        self.name = config["data"]["dataset"]
+        self.root = root or DATASET_ROOT
+        self.domain_name_list: List[str] = list(config["data"]["domain_name_list"])
+        self.max_seq_len = int(config["data"]["max_seq_len"])
+        self.eval_domain = self.domain_name_list[0]
+
+        meta = _load_meta(self.root, self.name, self.domain_name_list)
+        self._num_users = meta["num_users"]
+        self._num_items = meta["num_items"]
+        self.domain_item_mapping = meta["domain_items"]
+        self.domain_user_mapping = meta["domain_users"]
+
+        self._load()
+
+    # -- loading -----------------------------------------------------------
+    def _phase_path(self, domain: str) -> str:
+        suffix = self.config["data"].get("train_file", "") if self.phase == "train" else ""
+        return os.path.join(self.root, self.name, domain, self.phase + suffix)
+
+    def _load(self) -> None:
+        parts = [
+            load_rows(self._phase_path(dom), self.phase == "train", self.max_seq_len)
+            for dom in self.domain_name_list
+        ]
+        if self.phase == "train":
+            self._data = RowData.concat(parts)
+        else:
+            self._data = {d: p for d, p in zip(self.domain_name_list, parts)}
+
+    def build(self) -> None:
+        """Post-load transform hook (subclasses repack rows here)."""
+        if self.phase == "train":
+            self.data = self._transform_train(self._data)
+        else:
+            self.data = self._data
+
+    def _transform_train(self, data: RowData) -> RowData:
+        return data
+
+    # -- access ------------------------------------------------------------
+    @property
+    def num_users(self) -> int:
+        return self._num_users
+
+    @property
+    def num_items(self) -> int:
+        return self._num_items
+
+    @property
+    def num_domains(self) -> int:
+        return len(self.domain_name_list)
+
+    def set_eval_domain(self, domain: str) -> None:
+        self.eval_domain = domain
+
+    def rows(self) -> RowData:
+        if self.phase == "train":
+            return self.data
+        return self.data[self.eval_domain]
+
+    def __len__(self) -> int:
+        return len(self.rows())
+
+    def domain_item_mask(self, domain: str) -> np.ndarray:
+        """Boolean [num_items]: True where the item belongs to ``domain``."""
+        mask = np.zeros(self.num_items, bool)
+        mask[self.domain_item_mapping[domain]] = True
+        return mask
+
+    def get_loader(self, batch_size: Optional[int] = None, shuffle: Optional[bool] = None,
+                   seed: int = 0, pad_to_full: bool = True):
+        from dr4sr_tpu.data.loader import BatchIterator
+
+        if batch_size is None:
+            section = "train" if self.phase == "train" else "eval"
+            batch_size = int(self.config[section]["batch_size"])
+        if shuffle is None:
+            shuffle = self.phase == "train"
+        return BatchIterator(
+            self.rows(), batch_size, shuffle=shuffle, seed=seed, pad_to_full=pad_to_full
+        )
+
+
+class PatternDataset(SeqDataset):
+    """Parallel original + pattern(regenerated) row views (reference
+    ``PatternDataset``, ``data/dataset.py:166-222``)."""
+
+    def _load(self) -> None:
+        super()._load()
+        if self.phase == "train":
+            suffix = self.config["data"].get("train_file", "")
+            parts = []
+            for dom in self.domain_name_list:
+                base = os.path.join(self.root, self.name, dom, "train" + suffix)
+                parts.append(load_rows(base, True, self.max_seq_len))
+            self._pattern_data = RowData.concat(parts)
+            # the "original" view drops the suffix
+            ori = [
+                load_rows(os.path.join(self.root, self.name, dom, "train"), True, self.max_seq_len)
+                for dom in self.domain_name_list
+            ]
+            self._data = RowData.concat(ori)
+        self.mode = "original"
+
+    def set_mode(self, mode: str) -> None:
+        assert self.phase == "train"
+        if mode == "original":
+            self.data = self._data
+        elif mode == "pattern":
+            self.data = self._pattern_data
+        elif mode == "all":
+            self.data = RowData.concat([self._data, self._pattern_data])
+        else:
+            raise NotImplementedError(mode)
+        self.mode = mode
+
+
+class CondenseDataset(SeqDataset):
+    """Greedy longest+shortest sequence packing (reference
+    ``CondenseDataset._condense_sequences``, ``data/dataset.py:300-332``)."""
+
+    def _transform_train(self, data: RowData) -> RowData:
+        L = self.max_seq_len
+        order = np.argsort(-data.seqlen, kind="stable")
+        seqs = data.in_item_id[order]
+        tgts = data.item_id[order]
+        lens = data.seqlen[order].tolist()
+
+        out_seq, out_tgt, out_len = [], [], []
+        lo, hi = 0, len(lens) - 1
+        while lo <= hi:
+            cur_seq = list(seqs[lo][: lens[lo]])
+            cur_tgt = list(tgts[lo][: lens[lo]])
+            cur_len = lens[lo]
+            while cur_len <= L:
+                if lo != hi and cur_len + lens[hi] <= L:
+                    cur_seq += list(seqs[hi][: lens[hi]])
+                    cur_tgt += list(tgts[hi][: lens[hi]])
+                    cur_len += lens[hi]
+                    hi -= 1
+                else:
+                    out_seq.append(cur_seq + [0] * (L - cur_len))
+                    out_tgt.append(cur_tgt + [0] * (L - cur_len))
+                    out_len.append(cur_len)
+                    lo += 1
+                    break
+        n = len(out_seq)
+        seq_arr = np.asarray(out_seq, np.int32)
+        return RowData(
+            user_id=np.zeros(n, np.int32),
+            in_item_id=seq_arr,
+            item_id=np.asarray(out_tgt, np.int32),
+            seqlen=np.asarray(out_len, np.int32),
+            label=(seq_arr != 0).astype(np.float32),
+            domain_id=np.zeros(n, np.int32),
+        )
+
+
+class SplitDataset(SeqDataset):
+    """Randomly split long sequences in half (reference ``SplitDataset``)."""
+
+    def __init__(self, *args, seed: int = 0, **kwargs):
+        self._rng = np.random.default_rng(seed)
+        super().__init__(*args, **kwargs)
+
+    def _transform_train(self, data: RowData) -> RowData:
+        L = self.max_seq_len
+        rows: List[RowData] = []
+        keep, first, second = [], [], []
+        cut_points = []
+        for i in range(len(data)):
+            n = int(data.seqlen[i])
+            if n > L // 2 and n >= 10:
+                cut = int(self._rng.integers(5, n - 5 + 1))
+                first.append(i)
+                cut_points.append(cut)
+            else:
+                keep.append(i)
+        parts = [data.select(np.asarray(keep, np.int64))] if keep else []
+        if first:
+            idx = np.asarray(first, np.int64)
+            for which in (0, 1):
+                sel = data.select(idx)
+                for j, (i, cut) in enumerate(zip(first, cut_points)):
+                    n = int(data.seqlen[i])
+                    if which == 0:
+                        s = data.in_item_id[i][:cut]
+                        t = data.item_id[i][:cut]
+                        new_len = cut
+                    else:
+                        s = data.in_item_id[i][cut:n]
+                        t = data.item_id[i][cut:n]
+                        new_len = n - cut
+                    sel.in_item_id[j] = np.pad(s, (0, L - len(s)))
+                    sel.item_id[j] = np.pad(t, (0, L - len(t)))
+                    sel.seqlen[j] = new_len
+                    lab = np.zeros(L, np.float32)
+                    lab[:new_len] = 1.0
+                    sel.label[j] = lab
+                parts.append(sel)
+        return RowData.concat(parts)
+
+
+class SelectionDataset(SeqDataset):
+    """Random 50% subset of the training rows (reference
+    ``SelectionDataset``)."""
+
+    def __init__(self, *args, seed: int = 0, **kwargs):
+        self._rng = np.random.default_rng(seed)
+        super().__init__(*args, **kwargs)
+
+    def _transform_train(self, data: RowData) -> RowData:
+        n = len(data)
+        sel = self._rng.permutation(n)[: n // 2]
+        return data.select(sel)
+
+
+_DATASET_CLASSES = {
+    "general": SeqDataset,
+    "pattern": PatternDataset,
+    "condense": CondenseDataset,
+    "split": SplitDataset,
+    "selection": SelectionDataset,
+}
+
+
+def get_dataset_class(config: Dict[str, Any]):
+    """Dispatch on ``config['data']['dataset_class']``
+    (reference ``BaseModel._get_dataset_class``)."""
+    key = config["data"].get("dataset_class", "general")
+    if key not in _DATASET_CLASSES:
+        raise NotImplementedError(f"dataset_class {key!r}")
+    return _DATASET_CLASSES[key]
+
+
+def prepare_datasets(config: Dict[str, Any], root: Optional[str] = None):
+    """Train/val/test dataset triple (reference ``prepare_datasets``)."""
+    cls = get_dataset_class(config)
+    out = []
+    for phase in ("train", "val", "test"):
+        ds = cls(config, phase=phase, root=root)
+        ds.build()
+        out.append(ds)
+    return tuple(out)

@@ -1,0 +1,107 @@
+"""FMLP — frequency-domain MLP sequence encoder.
+
+Reference: ``model/fmlp.py`` + ``module/layers.py:740-808``. Per layer:
+rfft over the sequence axis → learnable complex filter → irfft → dropout +
+LayerNorm residual → 4× gelu FFN. The model adds position embeddings + LN +
+dropout on the input and always reads the **last position** as the query
+(``model/fmlp.py:37-39``), which is why FMLP data must be **pre-padded**
+(padding in front; ``README.md:78``, ``dataset/dataset_transform.ipynb``).
+
+Here pre-padding is a batch-time transform (``pre_pad_batch``) instead of an
+offline notebook: sequences are rolled right inside the input pipeline when
+``config['data']['pre_padding']`` is set (fmlp.yaml sets it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dr4sr_tpu.models.base import embedding_init, normal_init
+from dr4sr_tpu.models.registry import register_model
+from dr4sr_tpu.modules.layers import FMLPEncoder
+
+
+def pre_pad_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Move padding from the back to the front of each sequence (host-side).
+
+    Equivalent to the reference's offline ``dataset_transform.ipynb``.
+    Applies to every [B, L] sequence field; scalar fields untouched.
+    """
+    out = dict(batch)
+    seqlen = batch["seqlen"]
+    L = batch["in_item_id"].shape[1]
+    shift = (L - seqlen).astype(np.int64)
+    for key in ("in_item_id", "item_id", "label"):
+        arr = batch.get(key)
+        if arr is not None and arr.ndim == 2 and arr.shape[1] == L:
+            # gather source positions j - shift; out-of-range -> PAD
+            src = np.arange(L)[None, :] - shift[:, None]
+            valid = src >= 0
+            src = np.clip(src, 0, L - 1)
+            rolled = np.take_along_axis(arr, src, axis=1)
+            rolled = np.where(valid, rolled, 0)
+            out[key] = rolled
+    return out
+
+
+class FMLPQueryEncoder(nn.Module):
+    num_items: int
+    embed_dim: int
+    max_seq_len: int
+    num_layers: int
+    dropout: float
+    layer_norm_eps: float = 1e-12
+
+    def setup(self):
+        self.item_embedding = nn.Embed(
+            self.num_items, self.embed_dim, embedding_init=embedding_init
+        )
+        self.position_emb = nn.Embed(
+            self.max_seq_len, self.embed_dim, embedding_init=normal_init
+        )
+        self.input_norm = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.input_dropout = nn.Dropout(self.dropout)
+        self.encoder = FMLPEncoder(
+            num_layers=self.num_layers,
+            max_seq_len=self.max_seq_len,
+            embed_dim=self.embed_dim,
+            dropout=self.dropout,
+            layer_norm_eps=self.layer_norm_eps,
+        )
+
+    def __call__(
+        self,
+        batch: Dict[str, jax.Array],
+        training: bool = False,
+        need_pooling: bool = True,
+    ) -> jax.Array:
+        seq = batch["in_item_id"]
+        l = seq.shape[1]
+        x = self.item_embedding(seq) + self.position_emb(jnp.arange(l)[None, :])
+        x = self.input_norm(x)
+        x = self.input_dropout(x, deterministic=not training)
+        out = self.encoder(x, deterministic=not training)
+        # reference always reads the final (pre-padded) position
+        return out[:, -1]
+
+
+@register_model("FMLP")
+class FMLP:
+    pre_padding = True
+
+    @staticmethod
+    def build(config: Dict[str, Any], num_items: int, **kwargs) -> nn.Module:
+        m = config["model"]
+        return FMLPQueryEncoder(
+            num_items=num_items,
+            embed_dim=int(m["embed_dim"]),
+            max_seq_len=int(config["data"]["max_seq_len"]),
+            num_layers=int(m["layer_num"]),
+            dropout=float(m["dropout_rate"]),
+            layer_norm_eps=float(m.get("layer_norm_eps", 1e-12)),
+        )

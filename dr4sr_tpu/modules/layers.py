@@ -1,0 +1,346 @@
+"""Core NN building blocks (flax.linen).
+
+Behavioral equivalents of the reference's module zoo, designed for XLA:
+
+* :class:`TransformerEncoderLayer` — post-norm layer matching torch's
+  ``nn.TransformerEncoderLayer(norm_first=False)`` used by SASRec
+  (``model/sasrec.py:21-34``); attention runs through the fused Pallas op.
+* :class:`GRUStack` — multi-layer GRU (bias-free like the reference's
+  ``GRULayer``, ``module/layers.py:117-136``) as a ``lax.scan`` over time.
+* :class:`FMLPEncoder` — frequency-domain MLP (``module/layers.py:740-808``):
+  rfft over the sequence axis → learned complex filter → irfft, fused by XLA
+  with the LayerNorm residual.
+* :func:`seq_pooling` — the pooling-type zoo (``module/layers.py:9-78``).
+
+All dropout is driven by linen's ``deterministic`` flag + ``dropout`` rng.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dr4sr_tpu.ops.attention import multihead_attention
+
+normal_init = nn.initializers.normal(stddev=0.02)
+
+
+def _activation(name: str):
+    return {
+        "relu": nn.relu,
+        "gelu": nn.gelu,
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+        "identity": lambda x: x,
+    }[name.lower()]
+
+
+def length_mask(seqlen: jax.Array, max_len: int) -> jax.Array:
+    """[B, L] bool, True where position < seqlen (a real token)."""
+    return jnp.arange(max_len)[None, :] < seqlen[:, None]
+
+
+def seq_pooling(
+    x: jax.Array,  # [B, L, D]
+    seqlen: jax.Array,  # [B]
+    pooling_type: str = "mean",
+    weight: Optional[jax.Array] = None,  # [B, L]
+) -> jax.Array:
+    """Pooling over valid positions; `origin` zeroes padded positions."""
+    b, l, d = x.shape
+    if weight is not None:
+        x = x * weight[..., None]
+    if pooling_type == "last":
+        idx = jnp.clip(seqlen - 1, 0, l - 1)
+        return jnp.take_along_axis(x, idx[:, None, None].repeat(d, axis=2), axis=1)[:, 0]
+    mask = length_mask(seqlen, l)[..., None]
+    x = jnp.where(mask, x, 0.0)
+    if pooling_type == "origin":
+        return x
+    if pooling_type == "sum":
+        return jnp.sum(x, axis=1)
+    if pooling_type == "mean":
+        return jnp.sum(x, axis=1) / jnp.maximum(seqlen[:, None], 1).astype(x.dtype)
+    if pooling_type == "max":
+        return jnp.max(jnp.where(mask, x, -jnp.inf), axis=1)
+    if pooling_type == "concat":
+        return x.reshape(b, l * d)
+    raise ValueError(f"unknown pooling_type {pooling_type!r}")
+
+
+class TransformerEncoderLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, L, D]
+        key_padding_mask: Optional[jax.Array] = None,  # [B, L] True = pad
+        causal: bool = True,
+        deterministic: bool = True,
+        use_pallas: Optional[bool] = None,
+    ) -> jax.Array:
+        b, l, d = x.shape
+        h = self.num_heads
+        dh = d // h
+
+        qkv = nn.Dense(3 * d, kernel_init=normal_init, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        attn = multihead_attention(
+            q, k, v, key_padding_mask=key_padding_mask, causal=causal,
+            use_pallas=use_pallas,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, l, d)
+        attn = nn.Dense(d, kernel_init=normal_init, name="out_proj")(attn)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x + attn)
+
+        y = nn.Dense(self.ffn_dim, kernel_init=normal_init, name="ffn1")(x)
+        y = _activation(self.activation)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(d, kernel_init=normal_init, name="ffn2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x + y)
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, causal=True, deterministic=True,
+                 use_pallas=None):
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.embed_dim,
+                self.num_heads,
+                self.ffn_dim,
+                self.dropout,
+                self.activation,
+                self.layer_norm_eps,
+                name=f"layer_{i}",
+            )(x, key_padding_mask, causal, deterministic, use_pallas)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-norm decoder layer (torch ``nn.TransformerDecoderLayer`` shape):
+    causal self-attention → cross-attention over the encoder memory → FFN.
+    Used by the regenerator (reference ``2.Pretrain_regenerator.py:139-149``).
+    """
+
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, Lt, D] target stream
+        memory: jax.Array,  # [B, Ls, D] encoder output
+        tgt_key_padding_mask: Optional[jax.Array] = None,  # [B, Lt] True = pad
+        memory_key_padding_mask: Optional[jax.Array] = None,  # [B, Ls]
+        causal: bool = True,
+        deterministic: bool = True,
+        use_pallas: Optional[bool] = None,
+    ) -> jax.Array:
+        b, lt, d = x.shape
+        h = self.num_heads
+        dh = d // h
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], h, dh).transpose(0, 2, 1, 3)
+
+        def merge_heads(t):
+            return t.transpose(0, 2, 1, 3).reshape(t.shape[0], -1, d)
+
+        # self attention (causal over the target)
+        qkv = nn.Dense(3 * d, kernel_init=normal_init, name="self_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = multihead_attention(
+            split_heads(q), split_heads(k), split_heads(v),
+            key_padding_mask=tgt_key_padding_mask, causal=causal,
+            use_pallas=use_pallas,
+        )
+        attn = nn.Dense(d, kernel_init=normal_init, name="self_out")(merge_heads(attn))
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x + attn)
+
+        # cross attention (queries from target, keys/values from memory)
+        q = nn.Dense(d, kernel_init=normal_init, name="cross_q")(x)
+        kv = nn.Dense(2 * d, kernel_init=normal_init, name="cross_kv")(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        cross = multihead_attention(
+            split_heads(q), split_heads(k), split_heads(v),
+            key_padding_mask=memory_key_padding_mask, causal=False,
+            use_pallas=use_pallas,
+        )
+        cross = nn.Dense(d, kernel_init=normal_init, name="cross_out")(merge_heads(cross))
+        cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x + cross)
+
+        # FFN
+        y = nn.Dense(self.ffn_dim, kernel_init=normal_init, name="ffn1")(x)
+        y = _activation(self.activation)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(d, kernel_init=normal_init, name="ffn2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm3")(x + y)
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_key_padding_mask=None,
+                 memory_key_padding_mask=None, causal=True, deterministic=True,
+                 use_pallas=None):
+        for i in range(self.num_layers):
+            x = TransformerDecoderLayer(
+                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout,
+                self.activation, self.layer_norm_eps, name=f"layer_{i}",
+            )(x, memory, tgt_key_padding_mask, memory_key_padding_mask,
+              causal, deterministic, use_pallas)
+        return x
+
+
+class GRUCellNoBias(nn.Module):
+    """Single GRU step, bias-free (matches ``nn.GRU(bias=False)``)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        wi = nn.Dense(3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
+                      name="wi")(x)
+        wh = nn.Dense(3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
+                      name="wh")(h)
+        xr, xz, xn = jnp.split(wi, 3, axis=-1)
+        hr, hz, hn = jnp.split(wh, 3, axis=-1)
+        r = nn.sigmoid(xr + hr)
+        z = nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+
+class GRUStack(nn.Module):
+    """Multi-layer unidirectional GRU over [B, L, D] via ``lax.scan``.
+
+    TPU-native replacement for the cuDNN GRU behind the reference's
+    ``GRULayer``: the per-step gate matmuls batch across B on the MXU and the
+    time loop is a compiled scan (no per-step dispatch).
+    """
+
+    hidden_dim: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # [B, L, Din] -> [B, L, H]
+        b = x.shape[0]
+        for layer in range(self.num_layers):
+            cell = GRUCellNoBias(self.hidden_dim, name=f"cell_{layer}")
+            scan = nn.scan(
+                lambda c, carry, xt: c(carry, xt),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            h0 = jnp.zeros((b, self.hidden_dim), x.dtype)
+            _, x = scan(cell, h0, x)
+        return x
+
+
+class FilterLayer(nn.Module):
+    """Learnable frequency-domain filter (reference ``FilterLayer``)."""
+
+    max_seq_len: int
+    embed_dim: int
+    dropout: float = 0.5
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, l, d = x.shape
+        freq = self.max_seq_len // 2 + 1
+        w = self.param("complex_weight", normal_init, (1, freq, d, 2), jnp.float32)
+        fx = jnp.fft.rfft(x, axis=1, norm="ortho")
+        filt = jax.lax.complex(w[..., 0], w[..., 1])
+        fx = fx * filt[:, : fx.shape[1]]
+        y = jnp.fft.irfft(fx, n=l, axis=1, norm="ortho").astype(x.dtype)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps)(y + x)
+
+
+class FMLPLayer(nn.Module):
+    max_seq_len: int
+    embed_dim: int
+    dropout: float = 0.5
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = FilterLayer(self.max_seq_len, self.embed_dim, self.dropout,
+                        self.layer_norm_eps, name="filter")(x, deterministic)
+        y = nn.Dense(4 * self.embed_dim, kernel_init=normal_init, name="ffn1")(x)
+        y = nn.gelu(y)
+        y = nn.Dense(self.embed_dim, kernel_init=normal_init, name="ffn2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm")(y + x)
+
+
+class FMLPEncoder(nn.Module):
+    num_layers: int
+    max_seq_len: int
+    embed_dim: int
+    dropout: float = 0.5
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        for i in range(self.num_layers):
+            x = FMLPLayer(self.max_seq_len, self.embed_dim, self.dropout,
+                          self.layer_norm_eps, name=f"layer_{i}")(x, deterministic)
+        return x
+
+
+class MLP(nn.Module):
+    """Simple MLP used by the meta-net and condition encoders."""
+
+    features: tuple
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = _activation(self.activation)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, kernel_init=normal_init, name=f"dense_{i}")(x)
+            if i + 1 < len(self.features):
+                x = act(x)
+        return x

@@ -1,0 +1,114 @@
+"""Ranking losses with the reference's padding semantics.
+
+The reference marks padded positions by writing ``-inf`` into the positive
+scores and testing ``isinf`` inside the loss (``model/basemodel.py:208``,
+``model/loss_func.py:14``). ``-inf`` arithmetic is hazardous under XLA's
+aggressive fusion (0·inf → NaN in gradients), so these functions take an
+explicit boolean ``mask`` (True = real position) and reproduce the same
+numerics:
+
+* BCE (``model/loss_func.py:5-38``): ``-Σ logσ(pos)/M + Σ mean_neg softplus(neg)/M``
+  with ``M`` = number of unmasked positions; ``reduce=False`` returns the
+  per-position contribution divided by ``M`` (used by the bilevel reweighter).
+* BPR (``model/loss_func.py:40-49``): ``-Σ mean_neg logσ(pos-neg)/M``.
+* InfoNCE (``module/data_augmentation.py:305-404``): ``batch_both`` mode with
+  2B-1 in-batch negatives, optional instance-label de-noising.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+
+
+def _log_sigmoid(x: jax.Array) -> jax.Array:
+    return -jax.nn.softplus(-x)
+
+
+def binary_cross_entropy_loss(
+    pos_score: jax.Array,  # [B] or [B, L]
+    neg_score: jax.Array,  # [B, neg] or [B, L, neg]
+    mask: jax.Array,  # bool, same shape as pos_score; True = real
+    reduce: bool = True,
+) -> jax.Array:
+    mask_f = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask_f), 1.0)
+
+    pos_loss = _log_sigmoid(pos_score) * mask_f
+    neg_loss = jnp.mean(jax.nn.softplus(neg_score), axis=-1)
+
+    if pos_score.ndim == neg_score.ndim - 1:
+        # per-position negatives share the positive's mask
+        neg_loss = neg_loss * mask_f
+        if reduce:
+            return (-jnp.sum(pos_loss) + jnp.sum(neg_loss)) / denom
+        return (-pos_loss + neg_loss) / denom
+    # batch-level negatives: reference takes a plain mean over them
+    neg_term = jnp.mean(neg_loss)
+    if reduce:
+        return -jnp.sum(pos_loss) / denom + neg_term
+    return -pos_loss / denom + neg_term / pos_loss.size
+
+
+def bpr_loss(
+    pos_score: jax.Array,
+    neg_score: jax.Array,
+    mask: jax.Array,
+    reduce: bool = True,
+) -> jax.Array:
+    mask_f = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask_f), 1.0)
+    diff = pos_score[..., None] - neg_score
+    loss = jnp.mean(_log_sigmoid(diff), axis=-1) * mask_f
+    if reduce:
+        return -jnp.sum(loss) / denom
+    return -loss / denom
+
+
+def info_nce_loss(
+    rep_i: jax.Array,  # [B, D]
+    rep_j: jax.Array,  # [B, D]
+    temperature: float = 1.0,
+    sim_method: str = "inner_product",
+    instance_labels: Optional[jax.Array] = None,  # [B]
+    valid: Optional[jax.Array] = None,  # [B] bool; False rows contribute 0
+    reduce: bool = True,
+) -> jax.Array:
+    """'batch_both' InfoNCE: logits = [sim_ij | sim_ii] with self (and
+    same-label pairs) masked; label = own column in sim_ij."""
+    b = rep_i.shape[0]
+    if sim_method == "cosine":
+        rep_i = rep_i / jnp.maximum(jnp.linalg.norm(rep_i, axis=-1, keepdims=True), 1e-12)
+        rep_j = rep_j / jnp.maximum(jnp.linalg.norm(rep_j, axis=-1, keepdims=True), 1e-12)
+    sim_ii = rep_i @ rep_i.T / temperature  # [B, B]
+    sim_ij = rep_i @ rep_j.T / temperature  # [B, B]
+
+    eye = jnp.eye(b, dtype=bool)
+    if instance_labels is not None:
+        same = instance_labels[:, None] == instance_labels[None, :]
+        sim_ii = jnp.where(same, _NEG, sim_ii)
+        sim_ij = jnp.where(same & ~eye, _NEG, sim_ij)
+    else:
+        sim_ii = jnp.where(eye, _NEG, sim_ii)
+
+    if valid is not None:
+        # exclude padded rows from acting as negatives (columns)
+        col_pad = ~valid[None, :]
+        sim_ii = jnp.where(col_pad, _NEG, sim_ii)
+        sim_ij = jnp.where(col_pad & ~eye, _NEG, sim_ij)
+
+    logits = jnp.concatenate([sim_ij, sim_ii], axis=-1)  # [B, 2B]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    per_row = -log_probs[jnp.arange(b), jnp.arange(b)]
+    if valid is not None:
+        per_row = jnp.where(valid, per_row, 0.0)
+        count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    else:
+        count = float(b)
+    if reduce:
+        return jnp.sum(per_row) / count
+    return per_row / count

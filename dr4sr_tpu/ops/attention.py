@@ -1,0 +1,221 @@
+"""Fused multi-head attention for TPU.
+
+The hot attention path of every transformer encoder in the framework (SASRec,
+CL4SRec, GNN encoder, the regenerator's encoder/decoder). Replaces the
+reference's ``torch.nn.TransformerEncoder`` SDPA (``model/sasrec.py:21-34``)
+with:
+
+* :func:`flash_attention` — a Pallas kernel fusing QK^T + masking + online
+  softmax + PV into one VMEM-resident pass (no [B,H,L,L] score tensor in HBM).
+  Blockwise over the query axis; keys/values stay in VMEM per (batch, head)
+  program, with an inner online-softmax loop over key blocks so long
+  sequences stream rather than materialize.
+* :func:`mha_reference` — a pure-jnp reference used for parity tests and as
+  the fallback on CPU (the kernel itself also runs under ``interpret=True``).
+
+Masking semantics match the reference: a boolean key-padding mask (True =
+masked out, like torch's ``src_key_padding_mask``) plus an optional causal
+constraint. Fully-masked query rows return zeros (torch yields NaN there; the
+reference never consumes those rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+) -> jax.Array:
+    """jnp attention. q,k,v: [B, H, L, Dh]; key_padding_mask: [B, L] True=pad."""
+    _, _, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / (dh**0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if causal:
+        row = jnp.arange(lq)[:, None]
+        col = jnp.arange(lk)[None, :]
+        scores = jnp.where((col > row)[None, None], _NEG_INF, scores)
+    if key_padding_mask is not None:
+        scores = jnp.where(key_padding_mask[:, None, None, :], _NEG_INF, scores)
+    # safe softmax: fully-masked rows -> zeros
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jax.lax.stop_gradient(m))
+    e = jnp.where(scores <= _NEG_INF / 2, 0.0, e)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(denom, 1e-30)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _flash_kernel(
+    mask_ref,  # [1, 1, Lk] int32 (1 = masked)
+    q_ref,  # [1, 1, block_q, Dh]
+    k_ref,  # [1, 1, Lk, Dh]
+    v_ref,  # [1, 1, Lk, Dh]
+    o_ref,  # [1, 1, block_q, Dh]
+    *,
+    causal: bool,
+    block_k: int,
+    lk: int,
+    scale: float,
+):
+    qi = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    dh = q_ref.shape[3]
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, Dh]
+
+    num_kb = lk // block_k
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        kblk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+        pad = mask_ref[0, 0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+        invalid = pad > 0
+        if causal:
+            invalid = jnp.logical_or(invalid, col_ids > row_ids)
+        s = jnp.where(invalid, _NEG_INF, s)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        p = jnp.where(invalid, 0.0, p)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_cur, l_cur
+
+    acc0 = jnp.zeros((block_q, dh), jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    block_q: int = 64,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas fused attention. q,k,v: [B, H, L, Dh]; mask [B, L] True=pad."""
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / (dh**0.5)
+
+    block_q = min(block_q, _ceil_to(lq, 8))
+    block_k = min(block_k, _ceil_to(lk, 128))
+    lq_p = _ceil_to(lq, block_q)
+    lk_p = _ceil_to(lk, block_k)
+
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((b, lk), jnp.bool_)
+    # pad: padded key positions are masked out, padded query rows are junk we slice off
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+    maskp = jnp.pad(key_padding_mask.astype(jnp.int32), ((0, 0), (0, lk_p - lk)),
+                    constant_values=1)[:, None, :]  # [B, 1, Lk]
+
+    grid = (b, h, lq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, causal=causal, block_k=block_k, lk=lk_p, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, lk_p), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, lk_p, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, lk_p, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, dh), q.dtype),
+        interpret=interpret,
+    )(maskp, qp, kp, vp)
+    return out[:, :, :lq, :]
+
+
+import numpy as np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_diff(q, k, v, mask, causal):
+    """Differentiable wrapper: Pallas forward, flash-style recompute backward
+    (the jnp reference's VJP — no [B,H,L,L] tensor saved between fwd/bwd)."""
+    return flash_attention(q, k, v, mask, causal)
+
+
+def _flash_diff_fwd(q, k, v, mask, causal):
+    return flash_attention(q, k, v, mask, causal), (q, k, v, mask)
+
+
+def _flash_diff_bwd(causal, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, mask, causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def multihead_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU backends, jnp reference elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        if key_padding_mask is None:
+            key_padding_mask = jnp.zeros(k.shape[:1] + k.shape[2:3], jnp.bool_)
+        return _flash_diff(q, k, v, key_padding_mask, causal)
+    return mha_reference(q, k, v, key_padding_mask, causal)

@@ -1,0 +1,112 @@
+"""Device mesh + sharding plan.
+
+The reference is single-GPU (``set_device``, ``utils/utils.py:22-26``); here
+parallelism is mesh-native from the start:
+
+* axis ``data``  — batch (DP); gradients are averaged implicitly because the
+  loss mean contracts over the sharded batch axis under jit.
+* axis ``model`` — catalog rows: the item-embedding table and the full-catalog
+  logits ``[B, N_items]`` shard over items (the recsys "EP"/TP axis); top-k
+  merges per-shard candidates over ICI (see ``ops.topk.sharded_masked_topk``).
+
+Multi-host: call :func:`init_distributed` first; ``jax.devices()`` then spans
+the slice and the same mesh code works unchanged (collectives ride ICI within
+a slice, DCN across slices — XLA picks per mesh-axis placement order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# batch fields sharded along the batch (data) axis
+_BATCH_FIELDS_2D = {"in_item_id", "label", "domain_id", "user_hist", "item_id"}
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host initialization (idempotent)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized / single-process
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} mesh != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+@dataclasses.dataclass
+class MeshPlan:
+    """Sharding plan bound to a mesh (or None = single device)."""
+
+    mesh: Optional[Mesh] = None
+    shard_embedding: bool = False  # row-shard the item table over MODEL_AXIS
+
+    @property
+    def data_size(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape[DATA_AXIS]
+
+    def batch_sharding(self, ndim: int) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+    def replicated(self) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P())
+
+    def param_sharding(self, path: str, ndim: int) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        if self.shard_embedding and path.endswith("item_embedding/embedding"):
+            return NamedSharding(self.mesh, P(MODEL_AXIS, *([None] * (ndim - 1))))
+        return self.replicated()
+
+
+def shard_batch(batch: Dict[str, np.ndarray], plan: MeshPlan) -> Dict[str, jax.Array]:
+    """Host batch -> device arrays, batch axis sharded over ``data``."""
+    if plan.mesh is None:
+        return jax.device_put(batch)
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, plan.batch_sharding(np.ndim(v)))
+    return out
+
+
+def replicate(tree: Any, plan: MeshPlan) -> Any:
+    if plan.mesh is None:
+        return tree
+    sh = plan.replicated()
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to_multiple(batch: Dict[str, np.ndarray], multiple: int) -> Dict[str, np.ndarray]:
+    """Pad the leading axis so it divides the data-axis size (valid=False pads)."""
+    b = len(batch["user_id"])
+    rem = (-b) % multiple
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad_width = [(0, rem)] + [(0, 0)] * (np.ndim(v) - 1)
+        out[k] = np.pad(v, pad_width)
+    out["valid"] = np.concatenate([batch["valid"], np.zeros(rem, bool)])
+    return out

@@ -1,0 +1,56 @@
+"""One-call train/evaluate entry (reference ``quickstart/run.py``)."""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Dict, Optional
+
+from dr4sr_tpu.data.dataset import prepare_datasets
+from dr4sr_tpu.parallel.mesh import MeshPlan
+from dr4sr_tpu.train.trainer import Trainer
+from dr4sr_tpu.utils.env import setup_environment
+from dr4sr_tpu.utils.logger import get_logger
+
+
+def run(
+    config: Dict[str, Any],
+    root: Optional[str] = None,
+    mesh_plan: Optional[MeshPlan] = None,
+) -> Dict[str, float]:
+    setup_environment(config["train"])
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S-%f")
+    log_path = f"{config['model']['model']}/{config['data']['dataset']}/{stamp}.log"
+    logger = get_logger(log_path)
+    logger.info(f"config: {config}")
+
+    datasets = prepare_datasets(config, root=root)
+    logger.info(
+        f"dataset {config['data']['dataset']}: {len(datasets[0])} train rows, "
+        f"{datasets[0].num_users} users, {datasets[0].num_items} items"
+    )
+    trainer = Trainer(config, datasets, mesh_plan=mesh_plan)
+    trainer.fit()
+    return trainer.evaluate()
+
+
+def tune(config: Dict[str, Any], sweep: Dict[str, list], root: Optional[str] = None):
+    """Grid sweep over ``{'section.key': [values...]}`` (replaces the wandb
+    sweep of ``tune.py``; maximizes ndcg@<cutoff[0]> on validation)."""
+    import copy
+    import itertools
+
+    keys = sorted(sweep)
+    best = None
+    results = []
+    for combo in itertools.product(*(sweep[k] for k in keys)):
+        cfg = copy.deepcopy(config)
+        for k, v in zip(keys, combo):
+            section, _, key = k.partition(".")
+            cfg[section][key] = v
+        out = run(cfg, root=root)
+        cutoff0 = int(cfg["eval"]["cutoff"][0])
+        score = out.get(f"ndcg@{cutoff0}", 0.0)
+        results.append({"params": dict(zip(keys, combo)), "metrics": out})
+        if best is None or score > best[0]:
+            best = (score, results[-1])
+    return best[1], results

@@ -1,0 +1,359 @@
+"""The training/evaluation engine.
+
+Replaces the reference's ``BaseModel.fit``/``fit_loop``/``training_epoch``/
+``validation_epoch``/``evaluate`` (``model/basemodel.py:109-402``) with a
+host-side epoch loop around two compiled programs:
+
+* ``train_step``  — forward + loss (+ contrastive term) + backward + optimizer
+  update in one jit; negative sampling happens inside the step with
+  ``jax.random`` (no host round-trip per batch);
+* ``eval_step``   — encode + full-catalog masked top-k + per-sample metrics in
+  one jit; the host only does the batch-size-weighted averaging.
+
+With a :class:`dr4sr_tpu.parallel.MeshPlan` the same two programs run SPMD:
+batches are sharded over the ``data`` axis, params replicated (or the item
+table row-sharded over ``model``), and XLA inserts the psum/all-gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from dr4sr_tpu import evaluation
+from dr4sr_tpu.data.dataset import SeqDataset
+from dr4sr_tpu.models.base import RecModel
+from dr4sr_tpu.models.registry import get_model_class
+from dr4sr_tpu.parallel.mesh import MeshPlan, pad_batch_to_multiple, shard_batch
+from dr4sr_tpu.train.callbacks import Analyzer, EarlyStopping
+from dr4sr_tpu.train.checkpoint import load_checkpoint
+from dr4sr_tpu.utils.logger import get_logger
+
+
+def make_optimizer(train_cfg: Dict[str, Any]) -> optax.GradientTransformation:
+    """torch-style optimizers (reference ``_get_optimizers``): L2 weight decay
+    is coupled (added to the gradient before the update)."""
+    name = str(train_cfg.get("optimizer", "adam")).lower()
+    lr = float(train_cfg.get("learning_rate", 1e-3))
+    wd = float(train_cfg.get("weight_decay", 0.0) or 0.0)
+    core = {
+        "adam": optax.scale_by_adam(),
+        "adagrad": optax.scale_by_rss(),
+        "rmsprop": optax.scale_by_rms(),
+        "sgd": optax.identity(),
+    }.get(name, optax.scale_by_adam())
+    steps = [optax.add_decayed_weights(wd)] if wd else []
+    return optax.chain(*steps, core, optax.scale(-lr))
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        datasets: Tuple[SeqDataset, SeqDataset, SeqDataset],
+        mesh_plan: Optional[MeshPlan] = None,
+        workdir: Optional[str] = None,
+    ) -> None:
+        self.config = config
+        self.train_data, self.val_data, self.test_data = datasets
+        self.plan = mesh_plan or MeshPlan()
+        self.logger = get_logger()
+        self.workdir = workdir
+
+        self.model_name = config["model"]["model"]
+        self.model_class = get_model_class(self.model_name)
+        self.num_items = self.train_data.num_items
+        self.num_users = self.train_data.num_users
+        self.domain_name_list = self.train_data.domain_name_list
+
+        self.pre_padding = bool(getattr(self.model_class, "pre_padding", False))
+        self.contrastive = bool(getattr(self.model_class, "contrastive", False))
+        self.aug_from_original = bool(
+            getattr(self.model_class, "aug_from_original", False)
+        )
+
+        # static per-model device constants merged into every batch
+        self.batch_extras: Dict[str, jax.Array] = {}
+        build_kwargs: Dict[str, Any] = {}
+        if getattr(self.model_class, "needs_graph", False):
+            self._build_graph()
+            build_kwargs["num_edges"] = len(self.batch_extras["edge_row"])
+
+        module = self.model_class.build(config, self.num_items, **build_kwargs)
+        self.rec = RecModel(config, module, self.num_items, self.num_users)
+
+        self.training_time = 0.0
+        self.inference_time = 0.0
+        self.logged_metrics: Dict[str, float] = {}
+        self.state: Optional[TrainState] = None
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ graph
+    def _build_graph(self) -> None:
+        from dr4sr_tpu.models.gnn import build_transition_graph
+
+        graph_src = self.config["model"].get("graph", "old")
+        if graph_src == "old":
+            rows = self.val_data.rows()
+            drop_last = True
+        else:
+            rows = self.train_data.rows()
+            drop_last = False
+        r, c, w = build_transition_graph(
+            rows.in_item_id,
+            rows.seqlen,
+            self.num_items,
+            window=int(self.config["model"].get("window", 2)),
+            drop_last=drop_last,
+        )
+        self.batch_extras = {
+            "edge_row": jnp.asarray(r),
+            "edge_col": jnp.asarray(c),
+            "edge_weight": jnp.asarray(w),
+        }
+
+    # ------------------------------------------------------------------- init
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = int(self.config["train"].get("seed", 2023)) if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        sample = self._device_batch(
+            self.train_data.get_loader(batch_size=2, shuffle=False).sample_batch(2)
+        )
+        variables = self.rec.init(rng, sample)
+        tx = make_optimizer(self.config["train"])
+        state = TrainState.create(
+            apply_fn=self.rec.module.apply, params=variables["params"], tx=tx
+        )
+        if self.plan.mesh is not None:
+            from dr4sr_tpu.parallel.mesh import replicate
+
+            state = replicate(state, self.plan)
+        self.state = state
+        self._rng = jax.random.PRNGKey(seed + 1)
+        return state
+
+    # ------------------------------------------------------------ batch plumbing
+    def _host_transform(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.pre_padding:
+            from dr4sr_tpu.models.fmlp import pre_pad_batch
+
+            batch = pre_pad_batch(batch)
+        return batch
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        batch = self._host_transform(batch)
+        if self.plan.mesh is not None:
+            batch = pad_batch_to_multiple(batch, self.plan.data_size)
+        out = shard_batch(batch, self.plan)
+        out.update(self.batch_extras)
+        return out
+
+    # -------------------------------------------------------------- train step
+    def _loss_fn(self, params, batch, rng):
+        variables = {"params": params}
+        if self.contrastive:
+            r_main, r_cl = jax.random.split(rng)
+            loss = self.rec.training_loss(variables, batch, r_main)
+            from dr4sr_tpu.models.cl4srec import cl_loss
+
+            aug_seq = batch.get("aug_in_item_id", batch["in_item_id"])
+            aug_len = batch.get("aug_seqlen", batch["seqlen"])
+            aug_valid = batch.get("aug_valid", batch.get("valid"))
+            if aug_valid is None:
+                aug_valid = jnp.ones(aug_seq.shape[0], bool)
+            cl = cl_loss(
+                self.rec.module,
+                variables,
+                r_cl,
+                aug_seq,
+                aug_len,
+                aug_valid,
+                self.config["model"],
+                self.num_items,
+            )
+            loss = loss + float(self.config["model"].get("cl_weight", 0.1)) * cl
+            return loss
+        return self.rec.training_loss(variables, batch, rng)
+
+    @property
+    def train_step(self):
+        if "train_step" not in self._compiled:
+
+            @jax.jit
+            def step(state: TrainState, batch, rng):
+                loss, grads = jax.value_and_grad(
+                    lambda p: self._loss_fn(p, batch, rng)
+                )(state.params)
+                state = state.apply_gradients(grads=grads)
+                return state, loss
+
+            self._compiled["train_step"] = step
+        return self._compiled["train_step"]
+
+    # --------------------------------------------------------------- eval step
+    @property
+    def eval_step(self):
+        if "eval_step" not in self._compiled:
+            cutoffs = tuple(int(c) for c in self.config["eval"]["cutoff"])
+            k = int(self.config["eval"]["topk"])
+            metric_names = tuple(self.config["eval"]["val_metrics"])
+
+            @functools.partial(jax.jit, static_argnames=("which_cutoffs",))
+            def step(params, batch, keep_mask, which_cutoffs=cutoffs):
+                scores, topk_items = self.rec.topk(
+                    {"params": params}, batch, k, item_keep_mask=keep_mask
+                )
+                pred = batch["item_id"][:, None] == topk_items  # [B, k] bool
+                per_sample = evaluation.compute_rank_metrics(
+                    pred, batch["label"], metric_names, which_cutoffs
+                )
+                return per_sample
+
+            self._compiled["eval_step"] = step
+        return self._compiled["eval_step"]
+
+    # -------------------------------------------------------------- epoch loops
+    def training_epoch(self, nepoch: int) -> float:
+        assert self.state is not None, "call init_state() first"
+        loader = self.train_data.get_loader(seed=nepoch)
+        aug_iter = None
+        if self.aug_from_original:
+            # CL4SRec2: augmentation batches come from the original train file
+            aug_iter = iter(self._original_loader(nepoch))
+        losses = []
+        for batch in loader:
+            if aug_iter is not None:
+                try:
+                    aug = next(aug_iter)
+                except StopIteration:
+                    aug_iter = iter(self._original_loader(nepoch))
+                    aug = next(aug_iter)
+                batch = dict(batch)
+                batch["aug_in_item_id"] = aug["in_item_id"]
+                batch["aug_seqlen"] = aug["seqlen"]
+                batch["aug_valid"] = aug["valid"]
+            dbatch = self._device_batch(batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, loss = self.train_step(self.state, dbatch, step_rng)
+            losses.append(loss)
+        return float(jnp.mean(jnp.stack(losses)))
+
+    def _original_loader(self, nepoch: int):
+        if not hasattr(self, "_original_data"):
+            import copy
+
+            cfg = copy.deepcopy(self.config)
+            cfg["data"]["train_file"] = ""
+            cls = type(self.train_data)
+            ds = cls(cfg, phase="train", root=self.train_data.root)
+            ds.build()
+            self._original_data = ds
+        return self._original_data.get_loader(
+            batch_size=int(self.config["train"]["batch_size"]), seed=nepoch + 7919
+        )
+
+    def _eval_epoch(self, dataset: SeqDataset, domain: str, params) -> Dict[str, float]:
+        dataset.set_eval_domain(domain)
+        keep_mask = jnp.asarray(dataset.domain_item_mask(domain))
+        sums: Dict[str, float] = defaultdict(float)
+        count = 0.0
+        analyzer = Analyzer()
+        for batch in dataset.get_loader():
+            dbatch = self._device_batch(batch)
+            per_sample = self.eval_step(params, dbatch, keep_mask)
+            valid = np.asarray(dbatch["valid"])
+            n = valid.sum()
+            host = {k: np.asarray(v) for k, v in per_sample.items()}
+            for k, v in host.items():
+                sums[k] += float(v[valid].sum())
+            count += float(n)
+            analyzer.record_batch(np.asarray(dbatch["seqlen"]), host, valid)
+        out = {k: v / max(count, 1.0) for k, v in sums.items()}
+        self._last_analyzer = analyzer
+        return out
+
+    # ----------------------------------------------------------------- fit/eval
+    def fit(self) -> Dict[str, float]:
+        cfg_t = self.config["train"]
+        cutoff0 = int(self.config["eval"]["cutoff"][0])
+        monitor = f"ndcg@{cutoff0}"
+        callback = EarlyStopping(
+            monitor,
+            self.config["data"]["dataset"],
+            self.model_name,
+            save_dir=self.workdir or self.config["eval"].get("save_path", "saved"),
+            patience=int(cfg_t.get("early_stop_patience", 10)),
+            mode=cfg_t.get("early_stop_mode", "max"),
+        )
+        if self.state is None:
+            self.init_state()
+
+        for nepoch in range(int(cfg_t["epochs"])):
+            self.logged_metrics = {"epoch": nepoch}
+            tik = time.time()
+            train_loss = self.training_epoch(nepoch)
+            self.training_time += time.time() - tik
+            self.logged_metrics["train_loss"] = train_loss
+
+            tik = time.time()
+            domain_sums: Dict[str, float] = defaultdict(float)
+            for domain in self.domain_name_list:
+                out = self._eval_epoch(self.val_data, domain, self.state.params)
+                for k, v in out.items():
+                    self.logged_metrics[f"{domain}_{k}"] = v
+                    domain_sums[k] += v
+            self.logged_metrics.update(domain_sums)
+            self.inference_time += time.time() - tik
+
+            self.logger.info(
+                f"epoch {nepoch}: "
+                + ", ".join(f"{k}={v:.4f}" for k, v in self.logged_metrics.items()
+                            if isinstance(v, float))
+            )
+            if callback(self.state.params, self.config, nepoch, self.logged_metrics):
+                break
+        self.callback = callback
+        if callback.best_params is not None:
+            self.best_params = callback.best_params
+        else:
+            self.best_params = jax.device_get(self.state.params)
+        return self.logged_metrics
+
+    def evaluate(self) -> Dict[str, float]:
+        """Test metrics with the best checkpointed params
+        (reference ``BaseModel.evaluate``, ``model/basemodel.py:370-402``)."""
+        params = getattr(self, "best_params", None)
+        if params is None and self.state is not None:
+            params = self.state.params
+        params = jax.device_put(params)
+        output: Dict[str, float] = {}
+        domain_sums: Dict[str, float] = defaultdict(float)
+        for domain in self.domain_name_list:
+            out = self._eval_epoch(self.test_data, domain, params)
+            for k, v in out.items():
+                output[f"{domain}_{k}"] = v
+                domain_sums[k] += v
+        output.update(domain_sums)
+        self.logger.info(f"test: {output}")
+        self.logger.info(
+            f"training_time: {self.training_time:.1f}s "
+            f"inference_time: {self.inference_time:.1f}s"
+        )
+        return output
+
+    def load_best_from(self, path: str) -> None:
+        assert self.state is not None
+        params, _ = load_checkpoint(path, self.state.params)
+        self.best_params = params

@@ -1,0 +1,42 @@
+"""CLI: train + evaluate one model on one dataset.
+
+Usage (mirrors the reference ``run.py``):
+    python run.py -m SASRec -d amazon-toys [--root dataset] [--train-file _ori]
+"""
+
+import argparse
+
+from dr4sr_tpu.config import load_config
+from dr4sr_tpu import quickstart
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", "-m", type=str, default="SASRec")
+    parser.add_argument("--dataset", "-d", type=str, default="amazon-toys")
+    parser.add_argument("--root", type=str, default="dataset", help="dataset root dir")
+    parser.add_argument("--train-file", type=str, default=None,
+                        help="override data.train_file (e.g. _ori, _regen)")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--data-parallel", type=int, default=None,
+                        help="size of the data mesh axis (default: all devices)")
+    args = parser.parse_args()
+
+    config = load_config(args.model, args.dataset)
+    if args.train_file is not None:
+        config["data"]["train_file"] = args.train_file
+    if args.epochs is not None:
+        config["train"]["epochs"] = args.epochs
+
+    mesh_plan = None
+    if args.data_parallel is not None and args.data_parallel > 1:
+        from dr4sr_tpu.parallel.mesh import MeshPlan, create_mesh
+
+        mesh_plan = MeshPlan(mesh=create_mesh(data=args.data_parallel))
+
+    out = quickstart.run(config, root=args.root, mesh_plan=mesh_plan)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Pallas flash-attention parity vs the jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr4sr_tpu.ops.attention import flash_attention, mha_reference
+
+
+def _rand_qkv(rng, b, h, l, d):
+    q = rng.normal(size=(b, h, l, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, l, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, l, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_reference(rng, causal):
+    b, h, l, d = 2, 2, 50, 32
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    seqlen = np.array([50, 17])
+    mask = jnp.asarray(np.arange(l)[None, :] >= seqlen[:, None])
+    ref = mha_reference(q, k, v, mask, causal=causal)
+    out = flash_attention(q, k, v, mask, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_long_sequence_blocks(rng):
+    # sequence longer than one k block exercises the online-softmax loop
+    b, h, l, d = 1, 1, 300, 16
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    mask = jnp.zeros((b, l), bool)
+    ref = mha_reference(q, k, v, mask, causal=True)
+    out = flash_attention(q, k, v, mask, causal=True, block_q=64, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fully_masked_rows_are_zero(rng):
+    b, h, l, d = 1, 1, 8, 8
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    mask = jnp.ones((b, l), bool)  # everything padded
+    ref = mha_reference(q, k, v, mask, causal=True)
+    out = flash_attention(q, k, v, mask, causal=True, interpret=True)
+    assert np.allclose(np.asarray(ref), 0.0)
+    assert np.allclose(np.asarray(out), 0.0)
+
+
+def test_reference_grads_finite(rng):
+    b, h, l, d = 1, 1, 12, 8
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    mask = jnp.asarray(np.arange(l)[None, :] >= 5)
+
+    def f(q):
+        return jnp.sum(mha_reference(q, k, v, mask, causal=True) ** 2)
+
+    g = jax.grad(f)(q)
+    assert np.isfinite(np.asarray(g)).all()

@@ -1,0 +1,44 @@
+import os
+
+from dr4sr_tpu.config import flatten_config, load_config, unflatten_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+
+def test_three_layer_merge():
+    cfg = load_config("SASRec", "amazon-toys", config_dir=CONFIG_DIR)
+    assert cfg["data"]["dataset"] == "amazon-toys"
+    assert cfg["data"]["domain_name_list"] == ["toy"]
+    assert cfg["data"]["max_seq_len"] == 50
+    # basemodel layer
+    assert cfg["train"]["batch_size"] == 256
+    assert cfg["eval"]["topk"] == 100
+    assert cfg["model"]["embed_dim"] == 64
+    # model layer overrides/extends
+    assert cfg["model"]["hidden_size"] == 128
+    assert cfg["model"]["model"] == "SASRec"
+
+
+def test_model_layer_updates_sections():
+    cfg = load_config("GRU4Rec", "amazon-beauty", config_dir=CONFIG_DIR)
+    assert cfg["model"]["hidden_size"] == 256
+    assert cfg["train"]["weight_decay"] == 0.0001
+    # untouched base keys survive
+    assert cfg["train"]["batch_size"] == 256
+
+
+def test_flatten_roundtrip():
+    cfg = load_config("SASRec", "yelp", config_dir=CONFIG_DIR)
+    flat = flatten_config(cfg)
+    assert flat["model.hidden_size"] == 128
+    back = unflatten_config(flat)
+    assert back["model"]["hidden_size"] == 128
+    assert back["data"]["dataset"] == "yelp"
+
+
+def test_overrides():
+    cfg = load_config(
+        "SASRec", "amazon-toys", config_dir=CONFIG_DIR,
+        overrides={"train": {"epochs": 3}},
+    )
+    assert cfg["train"]["epochs"] == 3

@@ -1,0 +1,71 @@
+"""Masked full-catalog top-k: single-device and sharded parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from dr4sr_tpu.ops.topk import masked_topk_scores, sharded_masked_topk
+
+
+def _setup(rng, B=4, N=64, D=8):
+    query = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    keep = np.ones(N, bool)
+    keep[0] = False  # PAD
+    keep[10:20] = False  # out-of-domain block
+    hist = np.zeros((B, 5), np.int64)
+    hist[:, 0] = 3  # everyone has seen item 3
+    hist[1, 1] = 30
+    return query, table, jnp.asarray(keep), jnp.asarray(hist)
+
+
+def test_masked_topk_excludes_masked_items(rng):
+    query, table, keep, hist = _setup(rng)
+    scores, items = masked_topk_scores(query, table, 8, keep, hist)
+    items = np.asarray(items)
+    assert not np.isin(items, [0, 3]).any()
+    assert not ((items >= 10) & (items < 20)).any()
+    assert 30 not in items[1]
+    # scores sorted descending
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_masked_topk_matches_numpy(rng):
+    query, table, keep, hist = _setup(rng)
+    scores, items = masked_topk_scores(query, table, 8, keep, hist)
+    ref = np.asarray(query) @ np.asarray(table).T
+    ref[:, ~np.asarray(keep)] = -np.inf
+    for b in range(ref.shape[0]):
+        ref[b, np.asarray(hist)[b]] = -np.inf
+    expect = np.argsort(-ref, axis=1)[:, :8]
+    np.testing.assert_array_equal(np.asarray(items), expect)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+def test_sharded_topk_parity(rng):
+    query, table, keep, hist = _setup(rng, B=4, N=64, D=8)
+    k = 8
+    devices = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, ("data", "model"))
+
+    @jax.jit
+    def sharded(query, table, keep, hist):
+        fn = shard_map(
+            lambda q, t, km, h: sharded_masked_topk(
+                q, t, k, "model", item_keep_mask_local=km, user_hist=h
+            ),
+            mesh=mesh,
+            in_specs=(P(), P("model"), P("model"), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(query, table, keep, hist)
+
+    s_scores, s_items = sharded(query, table, keep, hist)
+    scores, items = masked_topk_scores(query, table, k, keep, hist)
+    np.testing.assert_allclose(np.asarray(s_scores), np.asarray(scores), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s_items), np.asarray(items))
