@@ -81,6 +81,21 @@ class MeshPlan:
         return self.replicated()
 
 
+def shard_params(params: Any, plan: MeshPlan) -> Any:
+    """Place params per the plan: everything replicated except (optionally)
+    the item-embedding table, row-sharded over the ``model`` axis."""
+    if plan.mesh is None:
+        return params
+    from jax.tree_util import tree_map_with_path
+
+    def place(path, leaf):
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        sh = plan.param_sharding(path_str, np.ndim(leaf))
+        return jax.device_put(leaf, sh)
+
+    return tree_map_with_path(place, params)
+
+
 def shard_batch(batch: Dict[str, np.ndarray], plan: MeshPlan) -> Dict[str, jax.Array]:
     """Host batch -> device arrays, batch axis sharded over ``data``."""
     if plan.mesh is None:

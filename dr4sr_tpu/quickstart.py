@@ -12,6 +12,19 @@ from dr4sr_tpu.utils.env import setup_environment
 from dr4sr_tpu.utils.logger import get_logger
 
 
+def make_trainer(config, datasets, mesh_plan=None, workdir=None):
+    """Trainer factory: MetaModel gets the bilevel trainer."""
+    import dr4sr_tpu.models  # noqa: F401 - populate registry
+    from dr4sr_tpu.models.registry import get_model_class
+
+    cls = get_model_class(config["model"]["model"])
+    if getattr(cls, "is_meta", False):
+        from dr4sr_tpu.train.meta_trainer import MetaTrainer
+
+        return MetaTrainer(config, datasets, mesh_plan=mesh_plan, workdir=workdir)
+    return Trainer(config, datasets, mesh_plan=mesh_plan, workdir=workdir)
+
+
 def run(
     config: Dict[str, Any],
     root: Optional[str] = None,
@@ -28,7 +41,7 @@ def run(
         f"dataset {config['data']['dataset']}: {len(datasets[0])} train rows, "
         f"{datasets[0].num_users} users, {datasets[0].num_items} items"
     )
-    trainer = Trainer(config, datasets, mesh_plan=mesh_plan)
+    trainer = make_trainer(config, datasets, mesh_plan=mesh_plan)
     trainer.fit()
     return trainer.evaluate()
 

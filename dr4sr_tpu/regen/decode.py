@@ -1,0 +1,171 @@
+"""Batched hybrid-inference decoding.
+
+The reference regenerates the training set by greedy-decoding ONE sequence at
+a time on GPU (``3.Hybrid_inference.py:185-263`` — ``batch=1``, a Python loop
+over ~19k sequences × K conditions, manually sharded across processes with
+``--begin/--end``). Here the whole thing is one jitted program over ``[B]``
+lanes: a ``lax.fori_loop`` of decoder steps with fixed shapes, per-lane
+done-flags, and the restrictive/generative masking expressed as boolean
+catalog masks. K conditions run as K tiled lanes in the same batch.
+
+Masking semantics (reference ``inference_mask``/``inference_mask_generative``):
+* restrictive: only items present in the source and not yet emitted;
+* generative: any item not yet emitted;
+* both exclude PAD (the reference's unpadded src achieves this implicitly);
+* mode choice per step: restrictive when ``step <= 1`` or with prob 1-γ
+  (γ=0 as shipped ⇒ always restrictive).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dr4sr_tpu.regen.generator import Generator, NEG
+
+
+@functools.partial(
+    jax.jit, static_argnames=("generator", "max_len", "gamma")
+)
+def greedy_decode_batch(
+    generator: Generator,
+    variables,
+    src: jax.Array,  # [B, Ls] SOS/EOS-framed, 0-padded
+    condition: jax.Array,  # [B] int condition index per lane
+    rng: jax.Array,
+    max_len: int = 25,
+    gamma: float = 0.0,
+) -> jax.Array:
+    """Returns decoded token buffers [B, max_len] (SOS first, EOS-terminated,
+    0 after termination)."""
+    b = src.shape[0]
+    vocab = generator.num_items + 2
+    sos, eos = generator.sos, generator.eos
+
+    memory = generator.apply(variables, src, False, method=Generator.encode)
+    memory_k = generator.apply(variables, memory, method=Generator.conditioned_memory)
+    src_pad = src == 0
+
+    in_src = jnp.zeros((b, vocab), bool).at[
+        jnp.arange(b)[:, None], src
+    ].set(True)
+    in_src = in_src.at[:, 0].set(False)  # PAD never allowed
+
+    buf = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(sos)
+    emitted = jnp.zeros((b, vocab), bool).at[:, sos].set(True)
+    done = jnp.zeros(b, bool)
+
+    def body(i, carry):
+        buf, emitted, done, rng = carry
+        logits = generator.apply(
+            variables, buf, memory_k, src_pad, condition, i,
+            method=Generator.decode_step,
+        )  # [B, V]
+        rng, r = jax.random.split(rng)
+        use_generative = (
+            (jax.random.uniform(r, (b,)) < gamma) & (i > 1)
+            if gamma > 0.0
+            else jnp.zeros(b, bool)
+        )
+        restr = in_src & ~emitted
+        gen = ~emitted
+        gen = gen.at[:, 0].set(False)
+        allowed = jnp.where(use_generative[:, None], gen, restr)
+        masked = jnp.where(allowed, logits, NEG)
+        nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        # lanes with nothing allowed (or already done) emit EOS
+        dead = ~jnp.any(allowed, axis=-1)
+        nxt = jnp.where(done, 0, jnp.where(dead, eos, nxt))
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, nxt[:, None], i + 1, axis=1
+        )
+        emitted = emitted.at[jnp.arange(b), nxt].set(True)
+        done = done | (nxt == eos)
+        return buf, emitted, done, rng
+
+    buf, _, _, _ = jax.lax.fori_loop(0, max_len - 1, body, (buf, emitted, done, rng))
+    return buf
+
+
+def decode_dataset(
+    generator: Generator,
+    variables,
+    sequences: List[List[int]],  # raw item sequences (no SOS/EOS)
+    k_conditions: int,
+    batch_size: int = 1024,
+    max_len: int = 25,
+    max_src: int = 52,
+    gamma: float = 0.0,
+    seed: int = 0,
+) -> List[List[int]]:
+    """Decode every sequence under every condition; returns raw regenerated
+    item lists (SOS/EOS stripped). Equivalent of the reference's
+    ``for k in range(K): for seq in seqlist: translate(...)`` loop."""
+    sos, eos = generator.sos, generator.eos
+    n = len(sequences)
+    src_all = np.zeros((n, max_src), np.int32)
+    for i, s in enumerate(sequences):
+        framed = [sos] + list(s)[: max_src - 2] + [eos]
+        src_all[i, : len(framed)] = framed
+
+    rng = jax.random.PRNGKey(seed)
+    outputs: List[List[int]] = []
+    for cond in range(k_conditions):
+        for start in range(0, n, batch_size):
+            chunk = src_all[start : start + batch_size]
+            pad_rows = batch_size - len(chunk)
+            if pad_rows:
+                chunk = np.concatenate([chunk, np.zeros((pad_rows, max_src), np.int32)])
+            rng, r = jax.random.split(rng)
+            buf = greedy_decode_batch(
+                generator,
+                variables,
+                jnp.asarray(chunk),
+                jnp.full((batch_size,), cond, jnp.int32),
+                r,
+                max_len=max_len,
+                gamma=gamma,
+            )
+            buf = np.asarray(buf)[: batch_size - pad_rows if pad_rows else batch_size]
+            for row in buf:
+                toks = []
+                for t in row[1:]:  # skip SOS
+                    if t == eos or t == 0:
+                        break
+                    toks.append(int(t))
+                outputs.append(toks)
+    return outputs
+
+
+def regenerated_rows(
+    decoded: List[List[int]], max_seq_len: int = 50
+) -> List[list]:
+    """Dedup + pack decoded sequences into training rows
+    (reference ``3.Hybrid_inference.py:265-290``): user_id=1, per-position
+    targets = sequence shifted by one, label all-ones."""
+    train_set = {tuple(seq) for seq in decoded if seq}
+    rows = []
+    for seq in sorted(train_set):
+        seq = list(seq)
+        hist = seq[:-1]
+        seq_len = min(len(hist), max_seq_len)
+        if seq_len == 0:
+            continue
+
+        def fit(s):
+            s = list(s)
+            return s[-max_seq_len:] if len(s) > max_seq_len else s + [0] * (max_seq_len - len(s))
+
+        rows.append([
+            1,
+            fit(hist),
+            fit(seq[1:]),
+            seq_len,
+            [1] * max_seq_len,
+            [0] * max_seq_len,
+        ])
+    return rows

@@ -1,0 +1,170 @@
+"""MetaTrainer — the bilevel (DR4SR+) training loop.
+
+See ``dr4sr_tpu.models.metamodel`` for the behavioral spec; this module holds
+the trainer subclass (separate file to keep models/ free of trainer imports).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dr4sr_tpu.meta.hypergrad import clip_by_global_norm, hypergradient
+from dr4sr_tpu.models.metamodel import gumbel_softmax_weight
+from dr4sr_tpu.modules.layers import MLP
+from dr4sr_tpu.train.trainer import Trainer
+
+
+class MetaTrainer(Trainer):
+    """Bilevel trainer: inner weighted sub-model steps + periodic outer
+    implicit-gradient meta updates."""
+
+    def __init__(self, config, datasets, mesh_plan=None, workdir=None,
+                 config_dir: Optional[str] = None):
+        sub_name = config["model"]["sub_model"]
+        from dr4sr_tpu.config import load_config
+
+        sub_config = load_config(sub_name, config["data"]["dataset"],
+                                 config_dir=config_dir)
+        # the sub-model trains on the same (regenerated) data/files
+        sub_config["data"] = copy.deepcopy(config["data"])
+        self.meta_config = config
+        super().__init__(sub_config, datasets, mesh_plan=mesh_plan, workdir=workdir)
+        self.model_name = "MetaModel"
+
+        self.interval = int(config["train"].get("interval", 30))
+        self.warmup_epoch = int(config["train"].get("warmup_epoch", 10))
+        self.tau_min = float(config["model"].get("tau_min", 1.0))
+        self.hpo_lr = float(config["train"].get("hpo_learning_rate", 1e-3))
+        self.meta_module = MLP((int(sub_config["model"]["embed_dim"]), 2))
+        self.step_counter = 0
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, seed: Optional[int] = None):
+        state = super().init_state(seed)
+        rng = jax.random.PRNGKey((seed or 0) + 101)
+        d = int(self.config["model"]["embed_dim"])
+        mlp_vars = self.meta_module.init(rng, jnp.zeros((1, d)))
+        self.meta_params = {
+            "mlp": mlp_vars["params"],
+            "tau": jnp.ones(()) * 10.0,
+        }
+        self.meta_tx = self._make_meta_optimizer()
+        self.meta_opt_state = self.meta_tx.init(self.meta_params)
+        return state
+
+    def _make_meta_optimizer(self) -> optax.GradientTransformation:
+        cfg = self.meta_config["train"]
+        name = str(cfg.get("meta_optimizer", "sgd")).lower()
+        lr = float(cfg.get("meta_learning_rate", 1e-3))
+        wd = float(cfg.get("meta_weight_decay", 0.0) or 0.0)
+        if name == "sgd":
+            steps = [optax.add_decayed_weights(wd)] if wd else []
+            steps += [optax.trace(decay=0.9), optax.scale(-lr)]
+            return optax.chain(*steps)
+        return optax.chain(optax.scale_by_adam(), optax.scale(-lr))
+
+    # -------------------------------------------------------------- loss fns
+    def _weighted_loss(self, params, meta_params, batch, rng):
+        """Inner objective (reference ``MetaModel.training_step:174-194``)."""
+        rng_loss, rng_gumbel = jax.random.split(rng)
+        loss_ps, query = self.rec.training_loss(
+            {"params": params}, batch, rng_loss, reduce=False, return_query=True
+        )
+        logits = self.meta_module.apply({"params": meta_params["mlp"]}, query)
+        tau = jnp.clip(meta_params["tau"], min=self.tau_min)
+        weight = gumbel_softmax_weight(logits, tau, rng_gumbel)
+        # weight shape follows query: [B, L] (origin pooling) or [B] (FMLP)
+        if weight.ndim > loss_ps.ndim:
+            weight = weight[..., 0]
+        user_mask = batch["user_id"] == 0  # pattern rows: weight 1
+        while user_mask.ndim < weight.ndim:
+            user_mask = user_mask[..., None]
+        weight = jnp.where(user_mask, 1.0, weight)
+        pad = batch["item_id"] == 0
+        if pad.ndim == weight.ndim:
+            weight = jnp.where(pad, 0.0, weight)
+        elif pad.ndim > weight.ndim:  # [B] weight vs [B, L] loss
+            weight = jnp.where(pad, 0.0, weight[:, None] if weight.ndim == 1 else weight)
+        if "valid" in batch:
+            valid = batch["valid"]
+            while valid.ndim < weight.ndim:
+                valid = valid[..., None]
+            weight = jnp.where(valid, weight, 0.0)
+        return jnp.sum(weight * loss_ps)
+
+    # ------------------------------------------------------------- jit steps
+    @property
+    def weighted_train_step(self):
+        if "weighted_train_step" not in self._compiled:
+
+            @jax.jit
+            def step(state, meta_params, batch, rng):
+                loss, grads = jax.value_and_grad(
+                    lambda p: self._weighted_loss(p, meta_params, batch, rng)
+                )(state.params)
+                return state.apply_gradients(grads=grads), loss
+
+            self._compiled["weighted_train_step"] = step
+        return self._compiled["weighted_train_step"]
+
+    @property
+    def outer_step(self):
+        if "outer_step" not in self._compiled:
+
+            @jax.jit
+            def step(params, meta_params, meta_opt_state, val_batch,
+                     train_batch, rng):
+                r_val, r_train = jax.random.split(rng)
+                val_loss_fn = lambda p: self.rec.training_loss(
+                    {"params": p}, val_batch, r_val
+                )
+                train_loss_fn = lambda p, m: self._weighted_loss(
+                    p, m, train_batch, r_train
+                )
+                hgrads = hypergradient(
+                    train_loss_fn, val_loss_fn, params, meta_params,
+                    lr=self.hpo_lr, truncate_iter=3,
+                )
+                hgrads = clip_by_global_norm(hgrads, 10.0)
+                updates, meta_opt_state = self.meta_tx.update(
+                    hgrads, meta_opt_state, meta_params
+                )
+                meta_params = optax.apply_updates(meta_params, updates)
+                return meta_params, meta_opt_state
+
+            self._compiled["outer_step"] = step
+        return self._compiled["outer_step"]
+
+    # ------------------------------------------------------------ epoch loop
+    def training_epoch(self, nepoch: int) -> float:
+        assert self.state is not None
+        loader = self.train_data.get_loader(seed=nepoch)
+        meta_loader = self.train_data.get_loader(seed=nepoch + 4099)
+        losses = []
+        warm = nepoch <= self.warmup_epoch
+        for batch in loader:
+            dbatch = self._device_batch(batch)
+            self._rng, r = jax.random.split(self._rng)
+            if warm:
+                self.state, loss = self.train_step(self.state, dbatch, r)
+            else:
+                self.state, loss = self.weighted_train_step(
+                    self.state, self.meta_params, dbatch, r
+                )
+            losses.append(loss)
+            self.step_counter += 1
+            if not warm and self.step_counter % self.interval == 0:
+                val_b = self._device_batch(meta_loader.sample_batch())
+                train_b = self._device_batch(meta_loader.sample_batch())
+                self._rng, r2 = jax.random.split(self._rng)
+                self.meta_params, self.meta_opt_state = self.outer_step(
+                    self.state.params, self.meta_params, self.meta_opt_state,
+                    val_b, train_b, r2,
+                )
+        return float(jnp.mean(jnp.stack(losses)))

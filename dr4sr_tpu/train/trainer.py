@@ -284,8 +284,75 @@ class Trainer:
         self._last_analyzer = analyzer
         return out
 
+    # -------------------------------------------------- fault tolerance/profiling
+    def _state_path(self) -> str:
+        import os
+
+        base = self.workdir or self.config["eval"].get("save_path", "saved")
+        return os.path.join(base, self.model_name,
+                            self.config["data"]["dataset"], "state_latest.msgpack")
+
+    def save_train_state(self, epoch: int) -> None:
+        """Resumable snapshot: params + optimizer state + epoch + host rng.
+        (The reference only keeps the best params; SURVEY §5.3-4 asks for
+        periodic resumable checkpoints for preemption recovery.)"""
+        import os
+
+        from flax import serialization
+
+        path = self._state_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "rng": jax.device_get(self._rng),
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+    def restore_train_state(self) -> Optional[int]:
+        """Returns the epoch to resume from, or None if no snapshot exists."""
+        import os
+
+        from flax import serialization
+
+        path = self._state_path()
+        if not os.path.exists(path):
+            return None
+        if self.state is None:
+            self.init_state()
+        target = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+            "epoch": 0,
+            "rng": jax.device_get(self._rng),
+        }
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(target, f.read())
+        self.state = self.state.replace(
+            params=jax.device_put(payload["params"]),
+            opt_state=jax.device_put(payload["opt_state"]),
+            step=payload["step"],
+        )
+        self._rng = jax.device_put(payload["rng"])
+        return int(payload["epoch"]) + 1
+
+    def _maybe_profile(self, nepoch: int):
+        """jax.profiler trace of one training epoch when configured
+        (``train.profile_epoch`` + optional ``train.profile_dir``)."""
+        import contextlib
+
+        if nepoch == self.config["train"].get("profile_epoch"):
+            out = self.config["train"].get("profile_dir", "/tmp/dr4sr_profile")
+            self.logger.info(f"profiling epoch {nepoch} -> {out}")
+            return jax.profiler.trace(out)
+        return contextlib.nullcontext()
+
     # ----------------------------------------------------------------- fit/eval
-    def fit(self) -> Dict[str, float]:
+    def fit(self, resume: bool = False) -> Dict[str, float]:
         cfg_t = self.config["train"]
         cutoff0 = int(self.config["eval"]["cutoff"][0])
         monitor = f"ndcg@{cutoff0}"
@@ -299,13 +366,23 @@ class Trainer:
         )
         if self.state is None:
             self.init_state()
+        start_epoch = 0
+        if resume:
+            resumed = self.restore_train_state()
+            if resumed is not None:
+                start_epoch = resumed
+                self.logger.info(f"resumed training from epoch {start_epoch}")
 
-        for nepoch in range(int(cfg_t["epochs"])):
+        ckpt_every = int(cfg_t.get("checkpoint_every_epochs", 0) or 0)
+        for nepoch in range(start_epoch, int(cfg_t["epochs"])):
             self.logged_metrics = {"epoch": nepoch}
             tik = time.time()
-            train_loss = self.training_epoch(nepoch)
+            with self._maybe_profile(nepoch):
+                train_loss = self.training_epoch(nepoch)
             self.training_time += time.time() - tik
             self.logged_metrics["train_loss"] = train_loss
+            if ckpt_every and (nepoch + 1) % ckpt_every == 0:
+                self.save_train_state(nepoch)
 
             tik = time.time()
             domain_sums: Dict[str, float] = defaultdict(float)

@@ -1,0 +1,74 @@
+"""Stage 3 CLI: batched hybrid inference → train_regen
+(reference ``3.Hybrid_inference.py``; the batch=1 loop and manual
+``--begin/--end`` process sharding are replaced by on-device batched decode).
+
+  python scripts/hybrid_inference.py --root_path dataset/amazon-toys/toy \
+      --ckpt_name regenerator.msgpack --K 5
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dr4sr_tpu.data.dataset import RowData, load_rows  # noqa: E402
+from dr4sr_tpu.regen.generator import Generator  # noqa: E402
+from dr4sr_tpu.regen.pipeline import assemble_train_regen, hybrid_inference  # noqa: E402
+from flax import serialization  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root_path", type=str, required=True)
+    parser.add_argument("--ckpt_name", type=str, default="regenerator.msgpack")
+    parser.add_argument("--K", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=1024)
+    parser.add_argument("--max_len", type=int, default=25)
+    parser.add_argument("--gamma", type=float, default=0.0,
+                        help="per-step probability of generative masking")
+    parser.add_argument("--max_seq_len", type=int, default=50)
+    args = parser.parse_args()
+
+    from scripts.pretrain_regenerator import domain_num_items
+
+    num_items = domain_num_items(args.root_path)
+    gen = Generator(num_items=num_items, k=args.K)
+
+    train = load_rows(os.path.join(args.root_path, "train"), True, args.max_seq_len)
+
+    # target structure for deserialization
+    rng = jax.random.PRNGKey(0)
+    src0 = np.zeros((1, 4), np.int32)
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        src0, src0[:, :-1], np.ones(1, np.int32), np.asarray(1.0),
+    )
+    with open(os.path.join(args.root_path, args.ckpt_name), "rb") as f:
+        variables = serialization.from_bytes(jax.device_get(variables), f.read())
+
+    regen_rows, stats = hybrid_inference(
+        gen, variables, train, k_conditions=args.K,
+        batch_size=args.batch_size, max_len=args.max_len, gamma=args.gamma,
+    )
+
+    # patterns rows (stage 1 output) are folded in if present
+    pat_path = os.path.join(args.root_path, "patterns")
+    if os.path.exists(pat_path + ".npz"):
+        patterns = load_rows(pat_path, True, args.max_seq_len)
+        base = RowData.concat([patterns])  # already includes original train
+        from dr4sr_tpu.data.dataset import rows_from_lists
+
+        extra = rows_from_lists(regen_rows, True, args.max_seq_len)
+        combined = RowData.concat([base, extra])
+    else:
+        combined = assemble_train_regen(train, [], regen_rows, args.max_seq_len)
+    combined.save_npz(os.path.join(args.root_path, "train_regen.npz"))
+    print(f"wrote train_regen.npz with {len(combined)} rows; stats={stats}")
+
+
+if __name__ == "__main__":
+    main()

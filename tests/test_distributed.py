@@ -1,0 +1,85 @@
+"""SPMD parity on a virtual 8-device CPU mesh: data-parallel training equals
+single-device; row-sharded embedding eval equals replicated."""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from dr4sr_tpu.data.dataset import prepare_datasets
+from dr4sr_tpu.parallel.mesh import MeshPlan, create_mesh, shard_params
+from dr4sr_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def dist_setup(tmp_path_factory):
+    from dr4sr_tpu.data.synthetic import synthetic_config, write_synthetic_dataset
+
+    root = str(tmp_path_factory.mktemp("dist"))
+    write_synthetic_dataset(root, num_users=160, num_items=64, seed=5)
+    cfg = synthetic_config()
+    cfg["model"]["dropout_rate"] = 0.0  # determinism across shardings
+    cfg["train"]["batch_size"] = 64
+    cfg["eval"]["topk"] = 20
+    return root, cfg
+
+
+def _make_trainers(root, cfg):
+    datasets_a = prepare_datasets(cfg, root=root)
+    datasets_b = prepare_datasets(cfg, root=root)
+    single = Trainer(copy.deepcopy(cfg), datasets_a)
+    plan = MeshPlan(mesh=create_mesh(data=8), shard_embedding=False)
+    multi = Trainer(copy.deepcopy(cfg), datasets_b, mesh_plan=plan)
+    single.init_state(seed=7)
+    multi.init_state(seed=7)
+    return single, multi
+
+
+def test_dp_training_parity(dist_setup):
+    root, cfg = dist_setup
+    single, multi = _make_trainers(root, cfg)
+
+    batch = single.train_data.get_loader(batch_size=64, shuffle=False).sample_batch(64)
+    rng = jax.random.PRNGKey(3)
+    sb = single._device_batch(batch)
+    mb = multi._device_batch(batch)
+    s_state, s_loss = single.train_step(single.state, sb, rng)
+    m_state, m_loss = multi.train_step(multi.state, mb, rng)
+    np.testing.assert_allclose(float(s_loss), float(m_loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(m_state.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_embedding_eval_parity(dist_setup):
+    root, cfg = dist_setup
+    datasets = prepare_datasets(cfg, root=root)
+    trainer = Trainer(copy.deepcopy(cfg), datasets)
+    trainer.init_state(seed=9)
+
+    plan = MeshPlan(mesh=create_mesh(data=4, model=2), shard_embedding=True)
+    sharded_params = shard_params(jax.device_get(trainer.state.params), plan)
+
+    import jax.numpy as jnp
+
+    keep = jnp.asarray(trainer.val_data.domain_item_mask("syn"))
+    batch = trainer.val_data.get_loader(batch_size=32).sample_batch(32)
+    db = trainer._device_batch(batch)
+    s1 = trainer.eval_step(trainer.state.params, db, keep)
+    db2 = {k: jax.device_put(np.asarray(v)) for k, v in db.items()}
+    s2 = trainer.eval_step(sharded_params, db2, keep)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]), atol=1e-5)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

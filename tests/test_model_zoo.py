@@ -1,0 +1,91 @@
+"""Every model family: one training epoch + eval on synthetic data."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from dr4sr_tpu.data.dataset import prepare_datasets
+from dr4sr_tpu.quickstart import make_trainer
+
+
+@pytest.fixture(scope="module")
+def zoo_setup(tmp_path_factory):
+    from dr4sr_tpu.data.synthetic import synthetic_config, write_synthetic_dataset
+
+    root = str(tmp_path_factory.mktemp("zoo"))
+    write_synthetic_dataset(root, num_users=120, num_items=50, seed=4)
+    return root, synthetic_config()
+
+
+def _run_model(root, base_cfg, model_name, extra_model_cfg=None, tmp=None):
+    cfg = copy.deepcopy(base_cfg)
+    cfg["model"]["model"] = model_name
+    cfg["train"]["epochs"] = 1
+    cfg["train"]["batch_size"] = 32
+    if extra_model_cfg:
+        cfg["model"].update(extra_model_cfg)
+    datasets = prepare_datasets(cfg, root=root)
+    trainer = make_trainer(cfg, datasets, workdir=tmp)
+    trainer.fit()
+    out = trainer.evaluate()
+    assert np.isfinite(trainer.logged_metrics["train_loss"])
+    for key in ("ndcg@20", "recall@20"):
+        assert 0.0 <= out[key] <= 1.0
+    return trainer, out
+
+
+def test_gru4rec(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    _run_model(root, cfg, "GRU4Rec",
+               {"hidden_size": 32, "layer_num": 2, "dropout_rate": 0.2},
+               str(tmp_path))
+
+
+def test_fmlp(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    trainer, _ = _run_model(root, cfg, "FMLP",
+                            {"layer_num": 2, "dropout_rate": 0.5}, str(tmp_path))
+    assert trainer.pre_padding  # FMLP batches are pre-padded
+
+
+def test_cl4srec(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    trainer, _ = _run_model(
+        root, cfg, "CL4SRec",
+        {"augment_type": "item_random", "temperature": 1.0, "cl_weight": 0.1,
+         "tau": 0.2, "gamma": 0.7, "beta": 0.2},
+        str(tmp_path),
+    )
+    # mask-token row exists: table has num_items + 1 rows
+    table = trainer.state.params["item_embedding"]["embedding"]
+    assert table.shape[0] == trainer.num_items + 1
+
+
+def test_cl4srec2_uses_original_aug(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    cfg = copy.deepcopy(cfg)
+    cfg["data"]["train_file"] = "_ori"
+    trainer, _ = _run_model(
+        root, cfg, "CL4SRec2",
+        {"augment_type": "item_crop", "temperature": 1.0, "cl_weight": 0.1,
+         "tau": 0.2, "gamma": 0.7, "beta": 0.2},
+        str(tmp_path),
+    )
+    assert trainer.aug_from_original
+
+
+def test_gnn(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    trainer, _ = _run_model(
+        root, cfg, "GNN",
+        {"graph": "new", "gnn_layer": 2, "window": 2}, str(tmp_path),
+    )
+    assert "edge_row" in trainer.batch_extras
+    assert len(trainer.batch_extras["edge_row"]) > 0
+
+
+def test_gnn_old_graph(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    _run_model(root, cfg, "GNN", {"graph": "old", "gnn_layer": 1, "window": 2},
+               str(tmp_path))

@@ -1,0 +1,123 @@
+"""Regeneration stack: generator training, batched decode, full pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr4sr_tpu.data.preprocess import resplit_sequences
+from dr4sr_tpu.data.synthetic import markov_sequences
+from dr4sr_tpu.regen.decode import decode_dataset, greedy_decode_batch
+from dr4sr_tpu.regen.generator import Generator, frame_pairs, generator_loss
+from dr4sr_tpu.regen.pipeline import (
+    build_pretraining_dataset,
+    hybrid_inference,
+    pattern_rows,
+    pretrain_regenerator,
+    train_sequences_from_rows,
+)
+
+NUM_ITEMS = 40
+
+
+@pytest.fixture(scope="module")
+def tiny_world():
+    seqs = markov_sequences(num_users=60, num_items=NUM_ITEMS, min_len=4,
+                            max_len=12, seed=3)
+    train, val, test, n_users, n_items = resplit_sequences(seqs, max_seq_len=20)
+    return seqs, train
+
+
+def test_generator_forward_and_loss():
+    gen = Generator(num_items=NUM_ITEMS, k=3)
+    rng = jax.random.PRNGKey(0)
+    src = jnp.asarray([[NUM_ITEMS, 1, 2, 3, NUM_ITEMS + 1, 0, 0, 0]], jnp.int32)
+    tgt = jnp.asarray([[NUM_ITEMS, 1, 3, NUM_ITEMS + 1, 0]], jnp.int32)
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        src, tgt[:, :-1], jnp.asarray([4]), jnp.asarray(1.0),
+    )
+    logits, cond = gen.apply(
+        variables, src, tgt[:, :-1], jnp.asarray([4]), jnp.asarray(1.0),
+        training=True, rngs={"dropout": rng, "gumbel": rng},
+    )
+    assert logits.shape == (1, 4, NUM_ITEMS + 2)
+    assert cond.shape == (1, 3)
+    np.testing.assert_allclose(np.asarray(cond).sum(-1), 1.0, rtol=1e-5)
+    # source restriction: items not in src have ~-inf logits
+    l0 = np.asarray(logits)[0, 0]
+    assert l0[5] < -1e20
+    assert np.isfinite(l0[1])
+    loss, aux = generator_loss(logits, tgt[:, 1:], cond)
+    assert np.isfinite(float(loss))
+
+
+def test_greedy_decode_restrictive_semantics():
+    gen = Generator(num_items=NUM_ITEMS, k=2, dropout=0.0)
+    rng = jax.random.PRNGKey(1)
+    src = np.zeros((3, 10), np.int32)
+    src[0, :5] = [NUM_ITEMS, 4, 5, 6, NUM_ITEMS + 1]
+    src[1, :4] = [NUM_ITEMS, 7, 8, NUM_ITEMS + 1]
+    src[2, :4] = [NUM_ITEMS, 9, 10, NUM_ITEMS + 1]
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        jnp.asarray(src), jnp.asarray(src[:, :-1]),
+        jnp.asarray([5, 4, 4]), jnp.asarray(1.0),
+    )
+    buf = greedy_decode_batch(
+        gen, variables, jnp.asarray(src),
+        jnp.asarray([0, 1, 0], jnp.int32), rng, max_len=8,
+    )
+    buf = np.asarray(buf)
+    for lane in range(3):
+        toks = buf[lane]
+        assert toks[0] == NUM_ITEMS  # SOS
+        body = []
+        for t in toks[1:]:
+            if t in (NUM_ITEMS + 1, 0):
+                break
+            body.append(int(t))
+        src_items = set(src[lane]) - {0, NUM_ITEMS, NUM_ITEMS + 1}
+        assert set(body) <= src_items  # restrictive: only source items
+        assert len(body) == len(set(body))  # no repeats (emitted mask)
+
+
+def test_pipeline_end_to_end(tiny_world):
+    seqs, train_rows = tiny_world
+    seq2pat = [list(s)[:-2] for s in seqs if len(s) >= 3]
+    pat_rows, pairs = build_pretraining_dataset(
+        seq2pat, train_rows, alpha=4, beta=2, n_jobs=2
+    )
+    assert len(pat_rows) > 0
+    assert len(pairs) > 0
+    # every pattern row is marked with user_id 0 and consistent label
+    row = pat_rows[0]
+    assert row[0] == 0 and row[3] == sum(1 for x in row[1] if x != 0)
+
+    gen, variables = pretrain_regenerator(
+        pairs[:200], NUM_ITEMS, k=2, epochs=2, batch_size=32, seed=0
+    )
+    regen_rows, stats = hybrid_inference(
+        gen, variables, train_rows, k_conditions=2, batch_size=64, max_len=8
+    )
+    assert stats["unique_regenerated"] == len(regen_rows)
+    assert stats["sequences_decoded"] == 2 * len(train_sequences_from_rows(train_rows))
+    for row in regen_rows[:5]:
+        assert row[0] == 1  # regen marker
+        n = row[3]
+        assert n >= 1
+        assert all(x != 0 for x in row[1][:n])
+
+
+def test_pretrained_embedding_injection(tiny_world):
+    _, train_rows = tiny_world
+    pairs = [([1, 2, 3], [1, 3])] * 8
+    emb = np.full((NUM_ITEMS, 64), 0.5, np.float32)
+    gen, variables = pretrain_regenerator(
+        pairs, NUM_ITEMS, k=2, epochs=1, batch_size=8, pretrained_embedding=emb
+    )
+    table = np.asarray(variables["params"]["item_embedding"]["embedding"])
+    assert table.shape == (NUM_ITEMS + 2, 64)
+    # catalog rows started from the injected values (then trained 1 epoch);
+    # SOS/EOS rows came from init — just check the table isn't the init normal
+    assert abs(table[:NUM_ITEMS].mean() - 0.5) < 0.2
