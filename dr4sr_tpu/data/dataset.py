@@ -417,12 +417,35 @@ class SelectionDataset(SeqDataset):
         return data.select(sel)
 
 
+class MixDataset(SeqDataset):
+    """Single mixed train file at the dataset root (reference ``MixDataset``,
+    ``data/dataset.py:224-265``): train rows come from ``<root>/<name>/train.*``
+    rather than per-domain files; eval stays per-domain."""
+
+    def _load(self) -> None:
+        if self.phase == "train":
+            self._data = load_rows(
+                os.path.join(self.root, self.name, "train"), True, self.max_seq_len
+            )
+        else:
+            parts = [
+                load_rows(self._phase_path(dom), False, self.max_seq_len)
+                for dom in self.domain_name_list
+            ]
+            self._data = {d: p for d, p in zip(self.domain_name_list, parts)}
+
+
+# ``ClusterDataset`` (reference ``data/dataset.py:420-451``) is unfinished/dead
+# upstream (its truncate_or_pad contains an unconditional early return); the
+# behavior it sketches — packing similar users' sequences — is covered by
+# CondenseDataset here, so no equivalent is registered.
 _DATASET_CLASSES = {
     "general": SeqDataset,
     "pattern": PatternDataset,
     "condense": CondenseDataset,
     "split": SplitDataset,
     "selection": SelectionDataset,
+    "mix": MixDataset,
 }
 
 

@@ -55,6 +55,31 @@ def clip_by_global_norm(a: Tree, max_norm: float) -> Tree:
     return tree_scale(a, scale)
 
 
+def gumbel_topk_relaxation(
+    rng: jax.Array, scores: jax.Array, k: int, tau: float = 1.0,
+    hard: bool = False, eps: float = 1e-10,
+) -> jax.Array:
+    """Continuous top-k relaxation via iterated gumbel-softmax (reference
+    ``SubsetOperator``, ``utils/utils.py:257-288``): returns a [B, N] k-hot
+    relaxation; ``hard`` straight-throughs onto the exact top-k."""
+    g = jax.random.gumbel(rng, scores.shape)
+    scores = scores + g
+    khot = jnp.zeros_like(scores)
+    onehot_approx = jnp.zeros_like(scores)
+    for _ in range(k):
+        mask = jnp.maximum(1.0 - onehot_approx, eps)
+        scores = scores + jnp.log(mask)
+        onehot_approx = jax.nn.softmax(scores / tau, axis=-1)
+        khot = khot + onehot_approx
+    if hard:
+        _, idx = jax.lax.top_k(khot, k)
+        hard_khot = jnp.zeros_like(khot).at[
+            jnp.arange(khot.shape[0])[:, None], idx
+        ].set(1.0)
+        khot = hard_khot - jax.lax.stop_gradient(khot) + khot
+    return khot
+
+
 def hypergradient(
     train_loss_fn: Callable[[Tree, Tree], jax.Array],  # (params, meta) -> loss
     val_loss_fn: Callable[[Tree], jax.Array],  # params -> loss
