@@ -146,7 +146,7 @@ class MetaTrainer(Trainer):
         assert self.state is not None
         loader = self.train_data.get_loader(seed=nepoch)
         meta_loader = self.train_data.get_loader(seed=nepoch + 4099)
-        losses = []
+        total_loss, n_steps = None, 0
         warm = nepoch <= self.warmup_epoch
         for batch in loader:
             dbatch = self._device_batch(batch)
@@ -157,7 +157,8 @@ class MetaTrainer(Trainer):
                 self.state, loss = self.weighted_train_step(
                     self.state, self.meta_params, dbatch, r
                 )
-            losses.append(loss)
+            total_loss = loss if total_loss is None else total_loss + loss
+            n_steps += 1
             self.step_counter += 1
             if not warm and self.step_counter % self.interval == 0:
                 val_b = self._device_batch(meta_loader.sample_batch())
@@ -167,4 +168,4 @@ class MetaTrainer(Trainer):
                     self.state.params, self.meta_params, self.meta_opt_state,
                     val_b, train_b, r2,
                 )
-        return float(jnp.mean(jnp.stack(losses)))
+        return float(total_loss) / max(n_steps, 1)

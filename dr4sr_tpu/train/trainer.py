@@ -232,7 +232,10 @@ class Trainer:
         if self.aug_from_original:
             # CL4SRec2: augmentation batches come from the original train file
             aug_iter = iter(self._original_loader(nepoch))
-        losses = []
+        # incremental on-device accumulation: stacking N queued scalars into
+        # one N-arg program stalls the remote (axon) dispatch path
+        total_loss = None
+        n_steps = 0
         for batch in loader:
             if aug_iter is not None:
                 try:
@@ -247,8 +250,9 @@ class Trainer:
             dbatch = self._device_batch(batch)
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self.train_step(self.state, dbatch, step_rng)
-            losses.append(loss)
-        return float(jnp.mean(jnp.stack(losses)))
+            total_loss = loss if total_loss is None else total_loss + loss
+            n_steps += 1
+        return float(total_loss) / max(n_steps, 1)
 
     def _original_loader(self, nepoch: int):
         if not hasattr(self, "_original_data"):
@@ -283,6 +287,25 @@ class Trainer:
         out = {k: v / max(count, 1.0) for k, v in sums.items()}
         self._last_analyzer = analyzer
         return out
+
+    # ------------------------------------------------------------ observability
+    def _log_metrics_jsonl(self, record: Dict[str, Any]) -> None:
+        """Append per-epoch metrics to ``<workdir>/metrics.jsonl`` (the
+        wandb-equivalent sink; reference logs to wandb at
+        ``model/basemodel.py:149,400``)."""
+        import json
+        import os
+
+        base = self.workdir or self.config["eval"].get("save_path", "saved")
+        path = os.path.join(base, self.model_name,
+                            self.config["data"]["dataset"], "metrics.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        clean = {
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in record.items()
+        }
+        with open(path, "a") as f:
+            f.write(json.dumps(clean) + "\n")
 
     # -------------------------------------------------- fault tolerance/profiling
     def _state_path(self) -> str:
@@ -399,6 +422,11 @@ class Trainer:
                 + ", ".join(f"{k}={v:.4f}" for k, v in self.logged_metrics.items()
                             if isinstance(v, float))
             )
+            self._log_metrics_jsonl(self.logged_metrics)
+            if nepoch % 10 == 0 and hasattr(self, "_last_analyzer"):
+                summary = self._last_analyzer.summary()
+                if summary:
+                    self.logger.info(f"analyzer (by history length): {summary}")
             if callback(self.state.params, self.config, nepoch, self.logged_metrics):
                 break
         self.callback = callback
