@@ -203,26 +203,43 @@ class Trainer:
         return self._compiled["train_step"]
 
     # --------------------------------------------------------------- eval step
+    def _eval_metrics(self, params, batch, keep_mask):
+        cutoffs = tuple(int(c) for c in self.config["eval"]["cutoff"])
+        k = int(self.config["eval"]["topk"])
+        metric_names = tuple(self.config["eval"]["val_metrics"])
+        scores, topk_items = self.rec.topk(
+            {"params": params}, batch, k, item_keep_mask=keep_mask
+        )
+        pred = batch["item_id"][:, None] == topk_items  # [B, k] bool
+        return evaluation.compute_rank_metrics(
+            pred, batch["label"], metric_names, cutoffs
+        )
+
     @property
     def eval_step(self):
+        """Per-sample metric arrays (analyzer path)."""
         if "eval_step" not in self._compiled:
-            cutoffs = tuple(int(c) for c in self.config["eval"]["cutoff"])
-            k = int(self.config["eval"]["topk"])
-            metric_names = tuple(self.config["eval"]["val_metrics"])
-
-            @functools.partial(jax.jit, static_argnames=("which_cutoffs",))
-            def step(params, batch, keep_mask, which_cutoffs=cutoffs):
-                scores, topk_items = self.rec.topk(
-                    {"params": params}, batch, k, item_keep_mask=keep_mask
-                )
-                pred = batch["item_id"][:, None] == topk_items  # [B, k] bool
-                per_sample = evaluation.compute_rank_metrics(
-                    pred, batch["label"], metric_names, which_cutoffs
-                )
-                return per_sample
-
-            self._compiled["eval_step"] = step
+            self._compiled["eval_step"] = jax.jit(self._eval_metrics)
         return self._compiled["eval_step"]
+
+    @property
+    def eval_step_sums(self):
+        """Masked metric sums + count, reduced on device (hot eval path —
+        avoids shipping per-sample arrays to host every batch)."""
+        if "eval_step_sums" not in self._compiled:
+
+            @jax.jit
+            def step(params, batch, keep_mask):
+                per_sample = self._eval_metrics(params, batch, keep_mask)
+                valid = batch["valid"]
+                sums = {
+                    k: jnp.sum(jnp.where(valid, v, 0.0))
+                    for k, v in per_sample.items()
+                }
+                return sums, jnp.sum(valid.astype(jnp.float32))
+
+            self._compiled["eval_step_sums"] = step
+        return self._compiled["eval_step_sums"]
 
     # -------------------------------------------------------------- epoch loops
     def training_epoch(self, nepoch: int) -> float:
@@ -268,9 +285,28 @@ class Trainer:
             batch_size=int(self.config["train"]["batch_size"]), seed=nepoch + 7919
         )
 
-    def _eval_epoch(self, dataset: SeqDataset, domain: str, params) -> Dict[str, float]:
+    def _eval_epoch(
+        self, dataset: SeqDataset, domain: str, params, with_analyzer: bool = False
+    ) -> Dict[str, float]:
         dataset.set_eval_domain(domain)
         keep_mask = jnp.asarray(dataset.domain_item_mask(domain))
+        if with_analyzer:
+            return self._eval_epoch_analyzed(dataset, keep_mask, params)
+        totals = None
+        count = None
+        for batch in dataset.get_loader():
+            dbatch = self._device_batch(batch)
+            sums, n = self.eval_step_sums(params, dbatch, keep_mask)
+            if totals is None:
+                totals, count = sums, n
+            else:
+                totals = {k: totals[k] + sums[k] for k in totals}
+                count = count + n
+        denom = max(float(count), 1.0)
+        return {k: float(v) / denom for k, v in totals.items()}
+
+    def _eval_epoch_analyzed(self, dataset, keep_mask, params) -> Dict[str, float]:
+        """Slow path: per-sample metrics shipped to host for the Analyzer."""
         sums: Dict[str, float] = defaultdict(float)
         count = 0.0
         analyzer = Analyzer()
@@ -278,15 +314,13 @@ class Trainer:
             dbatch = self._device_batch(batch)
             per_sample = self.eval_step(params, dbatch, keep_mask)
             valid = np.asarray(dbatch["valid"])
-            n = valid.sum()
             host = {k: np.asarray(v) for k, v in per_sample.items()}
             for k, v in host.items():
                 sums[k] += float(v[valid].sum())
-            count += float(n)
+            count += float(valid.sum())
             analyzer.record_batch(np.asarray(dbatch["seqlen"]), host, valid)
-        out = {k: v / max(count, 1.0) for k, v in sums.items()}
         self._last_analyzer = analyzer
-        return out
+        return {k: v / max(count, 1.0) for k, v in sums.items()}
 
     # ------------------------------------------------------------ observability
     def _log_metrics_jsonl(self, record: Dict[str, Any]) -> None:
@@ -409,8 +443,10 @@ class Trainer:
 
             tik = time.time()
             domain_sums: Dict[str, float] = defaultdict(float)
+            analyze = nepoch % 10 == 0
             for domain in self.domain_name_list:
-                out = self._eval_epoch(self.val_data, domain, self.state.params)
+                out = self._eval_epoch(self.val_data, domain, self.state.params,
+                                       with_analyzer=analyze)
                 for k, v in out.items():
                     self.logged_metrics[f"{domain}_{k}"] = v
                     domain_sums[k] += v
@@ -446,7 +482,7 @@ class Trainer:
         output: Dict[str, float] = {}
         domain_sums: Dict[str, float] = defaultdict(float)
         for domain in self.domain_name_list:
-            out = self._eval_epoch(self.test_data, domain, params)
+            out = self._eval_epoch(self.test_data, domain, params, with_analyzer=True)
             for k, v in out.items():
                 output[f"{domain}_{k}"] = v
                 domain_sums[k] += v

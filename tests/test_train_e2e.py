@@ -68,3 +68,15 @@ def test_checkpoint_roundtrip(trained, tmp_path):
                 __import__("jax").tree_util.tree_leaves(params)]
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(a, b)
+
+
+def test_eval_sum_path_matches_analyzer_path(trained):
+    """Device-reduced eval equals the per-sample host path."""
+    import jax.numpy as jnp
+
+    params = trained.state.params
+    fast = trained._eval_epoch(trained.val_data, "syn", params, with_analyzer=False)
+    slow = trained._eval_epoch(trained.val_data, "syn", params, with_analyzer=True)
+    assert set(fast) == set(slow)
+    for k in fast:
+        np.testing.assert_allclose(fast[k], slow[k], rtol=1e-5)
