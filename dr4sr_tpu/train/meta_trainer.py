@@ -103,7 +103,9 @@ class MetaTrainer(Trainer):
     def weighted_train_step(self):
         if "weighted_train_step" not in self._compiled:
 
-            @jax.jit
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def step(state, meta_params, batch, rng):
                 loss, grads = jax.value_and_grad(
                     lambda p: self._weighted_loss(p, meta_params, batch, rng)
@@ -117,7 +119,9 @@ class MetaTrainer(Trainer):
     def outer_step(self):
         if "outer_step" not in self._compiled:
 
-            @jax.jit
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
             def step(params, meta_params, meta_opt_state, val_batch,
                      train_batch, rng):
                 r_val, r_train = jax.random.split(rng)

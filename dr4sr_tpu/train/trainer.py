@@ -191,7 +191,9 @@ class Trainer:
     def train_step(self):
         if "train_step" not in self._compiled:
 
-            @jax.jit
+            # donate the train state: params/opt buffers update in place on
+            # device instead of being copied every step
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def step(state: TrainState, batch, rng):
                 loss, grads = jax.value_and_grad(
                     lambda p: self._loss_fn(p, batch, rng)
