@@ -42,6 +42,10 @@ def load_workload(max_seq_len: int = 50):
 def main():
     import jax
 
+    from dr4sr_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from dr4sr_tpu.data.loader import BatchIterator
     from dr4sr_tpu.data.synthetic import synthetic_config
     from dr4sr_tpu.models.base import RecModel

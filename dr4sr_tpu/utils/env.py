@@ -22,8 +22,26 @@ def seed_everything(seed: int = 1111) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache: repeat CLI invocations (pipeline
+    stages, suite runs) skip the multi-minute recompile."""
+    import jax
+
+    path = path or os.environ.get(
+        "DR4SR_COMPILE_CACHE", os.path.expanduser("~/.cache/dr4sr_jax_cache")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass
+
+
 def setup_environment(train_config: Dict[str, Any]) -> None:
     seed_everything(int(train_config.get("seed", 2023)))
+    if not train_config.get("no_compile_cache"):
+        enable_compilation_cache()
     if train_config.get("debug_nans"):
         import jax
 

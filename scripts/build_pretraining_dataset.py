@@ -15,6 +15,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dr4sr_tpu.data.dataset import RowData, load_rows  # noqa: E402
+from dr4sr_tpu.utils.env import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from dr4sr_tpu.regen.pipeline import build_pretraining_dataset  # noqa: E402
 
 

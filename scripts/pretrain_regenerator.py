@@ -19,6 +19,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dr4sr_tpu.regen.pipeline import pretrain_regenerator  # noqa: E402
+from dr4sr_tpu.utils.env import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from dr4sr_tpu.train.checkpoint import load_torch_embedding  # noqa: E402
 from flax import serialization  # noqa: E402
 
