@@ -101,6 +101,7 @@ def decode_dataset(
     max_src: int = 52,
     gamma: float = 0.0,
     seed: int = 0,
+    mesh_plan=None,
 ) -> List[List[int]]:
     """Decode every sequence under every condition; returns raw regenerated
     item lists (SOS/EOS stripped). Equivalent of the reference's
@@ -111,6 +112,12 @@ def decode_dataset(
     for i, s in enumerate(sequences):
         framed = [sos] + list(s)[: max_src - 2] + [eos]
         src_all[i, : len(framed)] = framed
+
+    def put(arr):
+        # shard decode lanes over the data axis when a mesh is given
+        if mesh_plan is not None and mesh_plan.mesh is not None:
+            return jax.device_put(arr, mesh_plan.batch_sharding(np.ndim(arr)))
+        return jnp.asarray(arr)
 
     rng = jax.random.PRNGKey(seed)
     outputs: List[List[int]] = []
@@ -124,8 +131,8 @@ def decode_dataset(
             buf = greedy_decode_batch(
                 generator,
                 variables,
-                jnp.asarray(chunk),
-                jnp.full((batch_size,), cond, jnp.int32),
+                put(chunk),
+                put(np.full((batch_size,), cond, np.int32)),
                 r,
                 max_len=max_len,
                 gamma=gamma,

@@ -111,6 +111,33 @@ class Analyzer:
         for k, v in metrics.items():
             self._metrics.setdefault(k, []).append(np.asarray(v)[valid])
 
+    def plot(self, path: str) -> Optional[str]:
+        """Bar charts of each metric by history-length bucket (the reference
+        pushes these to wandb as matplotlib figures every 10 epochs)."""
+        summary = self.summary()
+        if not summary:
+            return None
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        fig, axes = plt.subplots(1, len(summary), figsize=(4 * len(summary), 3))
+        if len(summary) == 1:
+            axes = [axes]
+        for ax, (metric, buckets) in zip(axes, summary.items()):
+            ax.bar(range(len(buckets)), list(buckets.values()))
+            ax.set_xticks(range(len(buckets)))
+            ax.set_xticklabels(list(buckets.keys()), rotation=45, fontsize=7)
+            ax.set_title(metric, fontsize=9)
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        return path
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         if not self._lens:
             return {}

@@ -20,7 +20,18 @@ def main():
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--data-parallel", type=int, default=None,
                         help="size of the data mesh axis (default: all devices)")
+    parser.add_argument("--shard-embedding", action="store_true",
+                        help="row-shard the item table over the model axis")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="size of the model mesh axis")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() first")
     args = parser.parse_args()
+
+    if args.multihost:
+        from dr4sr_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     config = load_config(args.model, args.dataset)
     if args.train_file is not None:
@@ -29,10 +40,13 @@ def main():
         config["train"]["epochs"] = args.epochs
 
     mesh_plan = None
-    if args.data_parallel is not None and args.data_parallel > 1:
+    if (args.data_parallel is not None and args.data_parallel > 1) or args.model_parallel > 1:
         from dr4sr_tpu.parallel.mesh import MeshPlan, create_mesh
 
-        mesh_plan = MeshPlan(mesh=create_mesh(data=args.data_parallel))
+        mesh_plan = MeshPlan(
+            mesh=create_mesh(data=args.data_parallel, model=args.model_parallel),
+            shard_embedding=args.shard_embedding,
+        )
 
     out = quickstart.run(config, root=args.root, mesh_plan=mesh_plan)
     print(out)

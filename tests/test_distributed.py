@@ -83,3 +83,29 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_decode_parity():
+    """Greedy decode with data-sharded lanes equals single-device decode."""
+    import jax.numpy as jnp
+
+    from dr4sr_tpu.parallel.mesh import MeshPlan, create_mesh
+    from dr4sr_tpu.regen.decode import decode_dataset
+    from dr4sr_tpu.regen.generator import Generator
+
+    num_items = 30
+    gen = Generator(num_items=num_items, k=2, dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    src0 = np.zeros((1, 6), np.int32)
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        jnp.asarray(src0), jnp.asarray(src0[:, :-1]),
+        jnp.ones(1, np.int32), jnp.asarray(1.0),
+    )
+    r = np.random.default_rng(0)
+    seqs = [list(r.integers(1, num_items, size=r.integers(2, 6))) for _ in range(16)]
+    single = decode_dataset(gen, variables, seqs, 2, batch_size=8, max_len=6)
+    plan = MeshPlan(mesh=create_mesh(data=8))
+    sharded = decode_dataset(gen, variables, seqs, 2, batch_size=8, max_len=6,
+                             mesh_plan=plan)
+    assert single == sharded
