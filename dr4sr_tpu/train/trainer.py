@@ -205,13 +205,52 @@ class Trainer:
         return self._compiled["train_step"]
 
     # --------------------------------------------------------------- eval step
+    def _topk_for_eval(self, params, batch, k, keep_mask):
+        """Full-catalog masked top-k; uses the explicit shard_map merge when
+        the item table is row-sharded over the model axis (communication is
+        k·S candidates per query instead of an all-gathered table)."""
+        plan = self.plan
+        if (
+            plan.mesh is not None
+            and plan.shard_embedding
+            and plan.mesh.shape.get("model", 1) > 1
+        ):
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from dr4sr_tpu.models.base import item_table
+            from dr4sr_tpu.ops.topk import sharded_masked_topk
+
+            query = self.rec.encode_eval({"params": params}, batch)
+            table = item_table({"params": params})[: self.num_items]
+            # pad the catalog to a multiple of the model axis (pad rows are
+            # keep_mask=False so they never surface in the top-k)
+            s = plan.mesh.shape["model"]
+            pad = (-self.num_items) % s
+            if pad:
+                table = jnp.pad(table, ((0, pad), (0, 0)))
+                keep_mask = jnp.pad(keep_mask, (0, pad))
+            fn = shard_map(
+                lambda q, t, km, h: sharded_masked_topk(
+                    q, t, min(k, self.num_items), "model",
+                    item_keep_mask_local=km, user_hist=h,
+                ),
+                mesh=plan.mesh,
+                in_specs=(P(), P("model"), P("model"), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+            hist = batch.get("user_hist")
+            if hist is None:
+                hist = jnp.zeros((query.shape[0], 1), jnp.int32)
+            return fn(query, table, keep_mask, hist)
+        return self.rec.topk({"params": params}, batch, k, item_keep_mask=keep_mask)
+
     def _eval_metrics(self, params, batch, keep_mask):
         cutoffs = tuple(int(c) for c in self.config["eval"]["cutoff"])
         k = int(self.config["eval"]["topk"])
         metric_names = tuple(self.config["eval"]["val_metrics"])
-        scores, topk_items = self.rec.topk(
-            {"params": params}, batch, k, item_keep_mask=keep_mask
-        )
+        scores, topk_items = self._topk_for_eval(params, batch, k, keep_mask)
         pred = batch["item_id"][:, None] == topk_items  # [B, k] bool
         return evaluation.compute_rank_metrics(
             pred, batch["label"], metric_names, cutoffs

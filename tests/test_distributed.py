@@ -109,3 +109,26 @@ def test_sharded_decode_parity():
     sharded = decode_dataset(gen, variables, seqs, 2, batch_size=8, max_len=6,
                              mesh_plan=plan)
     assert single == sharded
+
+
+def test_trainer_sharded_eval_matches_replicated(dist_setup):
+    """Trainer eval with a row-sharded table (shard_map top-k merge) equals
+    the replicated single-device eval."""
+    root, cfg = dist_setup
+    datasets = prepare_datasets(cfg, root=root)
+    plain = Trainer(copy.deepcopy(cfg), datasets)
+    plain.init_state(seed=11)
+
+    datasets2 = prepare_datasets(cfg, root=root)
+    plan = MeshPlan(mesh=create_mesh(data=4, model=2), shard_embedding=True)
+    sharded = Trainer(copy.deepcopy(cfg), datasets2, mesh_plan=plan)
+    sharded.init_state(seed=11)
+    # identical params (same seed) but placed per plan
+    sharded.state = sharded.state.replace(
+        params=shard_params(jax.device_get(plain.state.params), plan)
+    )
+
+    a = plain._eval_epoch(plain.val_data, "syn", plain.state.params)
+    b = sharded._eval_epoch(sharded.val_data, "syn", sharded.state.params)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-5)
