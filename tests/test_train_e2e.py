@@ -80,3 +80,21 @@ def test_eval_sum_path_matches_analyzer_path(trained):
     assert set(fast) == set(slow)
     for k in fast:
         np.testing.assert_allclose(fast[k], slow[k], rtol=1e-5)
+
+
+def test_recommender_serving(trained, tmp_path):
+    """Serving surface: checkpoint -> Recommender -> top-k unseen items."""
+    from dr4sr_tpu.serve import Recommender
+    from dr4sr_tpu.train.checkpoint import save_checkpoint
+
+    path = str(tmp_path / "serve.ckpt")
+    save_checkpoint(path, trained.best_params, trained.config, "SASRec", 1,
+                    {"ndcg@20": 0.5})
+    rec = Recommender(trained.rec, trained.best_params, batch_size=4)
+    hists = [[1, 2, 3], [5, 6], [10]]
+    items, scores = rec.recommend(hists, k=5)
+    assert items.shape == (3, 5)
+    for i, h in enumerate(hists):
+        assert 0 not in items[i]
+        assert not set(h) & set(items[i].tolist())  # seen items excluded
+        assert (np.diff(scores[i]) <= 1e-6).all()
