@@ -1,18 +1,44 @@
 """Sequentially train a suite of (model, dataset, train_file) configs and
 collect test metrics into a JSON file — the BASELINE-reproduction runner.
 
+Each job runs in its own subprocess so a backend failure in one job cannot
+poison the TPU client of the rest.
+
   python scripts/run_suite.py --out results.json \
       --jobs SASRec:amazon-toys:_regen GRU4Rec:amazon-toys: FMLP:amazon-toys:
 """
 
 import argparse
+import ast
 import json
 import os
+import subprocess
 import sys
 import time
-import traceback
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_job(model, dataset, train_file, epochs, timeout):
+    cmd = [
+        sys.executable, os.path.join(REPO, "run.py"),
+        "-m", model, "-d", dataset,
+        "--train-file", train_file, "--epochs", str(epochs),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO
+    )
+    out = proc.stdout.strip().splitlines()
+    # run.py prints the final metric dict on the last line
+    for line in reversed(out):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                return {"metrics": ast.literal_eval(line)}, proc
+            except (ValueError, SyntaxError):
+                break
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-12:])
+    return {"error": f"exit {proc.returncode}", "tail": tail}, proc
 
 
 def main():
@@ -21,11 +47,9 @@ def main():
                         help="Model:dataset:train_file triples")
     parser.add_argument("--out", type=str, default="results.json")
     parser.add_argument("--epochs", type=int, default=200)
-    parser.add_argument("--root", type=str, default="dataset")
+    parser.add_argument("--timeout", type=int, default=3600)
+    parser.add_argument("--force", action="store_true")
     args = parser.parse_args()
-
-    from dr4sr_tpu import quickstart
-    from dr4sr_tpu.config import load_config
 
     results = {}
     if os.path.exists(args.out):
@@ -35,26 +59,20 @@ def main():
     for job in args.jobs:
         model, dataset, train_file = job.split(":")
         key = f"{model}/{dataset}{train_file or '_base'}"
-        if key in results:
+        if key in results and "metrics" in results[key] and not args.force:
             print(f"skip {key} (already done)")
             continue
         print(f"=== {key} ===", flush=True)
-        config = load_config(model, dataset)
-        config["data"]["train_file"] = train_file
-        config["train"]["epochs"] = args.epochs
         t0 = time.time()
         try:
-            out = quickstart.run(config, root=args.root)
-            results[key] = {
-                "metrics": {k: float(v) for k, v in out.items()},
-                "wall_s": round(time.time() - t0, 1),
-            }
-        except Exception as e:  # keep the suite going
-            traceback.print_exc()
-            results[key] = {"error": str(e), "wall_s": round(time.time() - t0, 1)}
+            record, _ = run_job(model, dataset, train_file, args.epochs, args.timeout)
+        except subprocess.TimeoutExpired:
+            record = {"error": "timeout"}
+        record["wall_s"] = round(time.time() - t0, 1)
+        results[key] = record
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
-        print(json.dumps(results[key], indent=1), flush=True)
+        print(json.dumps(record)[:300], flush=True)
 
 
 if __name__ == "__main__":
