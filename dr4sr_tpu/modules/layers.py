@@ -277,23 +277,63 @@ class GRUStack(nn.Module):
         return x
 
 
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=8)
+def _dft_matrices(l: int):
+    """Constant rfft/irfft operator matrices (norm='ortho').
+
+    F [freq, L] complex: X = F @ x  (rfft along L)
+    G [L, freq] complex: y = Re(G @ X)  (irfft back to length L)
+    Built by transforming identity matrices host-side.
+    """
+    eye = _np.eye(l)
+    f = _np.fft.rfft(eye, axis=0, norm="ortho").astype(_np.complex64)  # [freq, L]
+    freq = l // 2 + 1
+    eye_f = _np.eye(freq)
+    # irfft is R-linear: irfft(u+iv) = A·u + B·v with A = irfft(I), B = irfft(iI);
+    # encode as G = A − iB so that Re(G·Z) = A·Re(Z) + B·Im(Z) = irfft(Z)
+    g = _np.fft.irfft(eye_f, n=l, axis=1, norm="ortho")
+    gi = _np.fft.irfft(1j * eye_f, n=l, axis=1, norm="ortho")
+    return f, (g - 1j * gi).astype(_np.complex64).T  # G [L, freq]
+
+
 class FilterLayer(nn.Module):
-    """Learnable frequency-domain filter (reference ``FilterLayer``)."""
+    """Learnable frequency-domain filter (reference ``FilterLayer``).
+
+    On TPU the rfft → complex pointwise filter → irfft chain is reformulated
+    as a per-channel L×L **linear operator** C_d = Re(G · diag(w_d) · F) with
+    constant DFT matrices — one einsum on the MXU instead of backend FFTs
+    (identical math; parity-tested against the FFT path). ``use_fft=True``
+    selects the jnp.fft path (used on CPU/tests and for very long L).
+    """
 
     max_seq_len: int
     embed_dim: int
     dropout: float = 0.5
     layer_norm_eps: float = 1e-12
+    use_fft: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         b, l, d = x.shape
         freq = self.max_seq_len // 2 + 1
         w = self.param("complex_weight", normal_init, (1, freq, d, 2), jnp.float32)
-        fx = jnp.fft.rfft(x, axis=1, norm="ortho")
-        filt = jax.lax.complex(w[..., 0], w[..., 1])
-        fx = fx * filt[:, : fx.shape[1]]
-        y = jnp.fft.irfft(fx, n=l, axis=1, norm="ortho").astype(x.dtype)
+        filt = jax.lax.complex(w[..., 0], w[..., 1])  # [1, freq, D]
+        if self.use_fft:
+            fx = jnp.fft.rfft(x, axis=1, norm="ortho")
+            fx = fx * filt[:, : fx.shape[1]]
+            y = jnp.fft.irfft(fx, n=l, axis=1, norm="ortho").astype(x.dtype)
+        else:
+            f_mat, g_mat = _dft_matrices(l)
+            # C[m, l', d] = Re( Σ_f G[m, f] w[f, d] F[f, l'] )
+            c = jnp.einsum(
+                "mf,fd,fl->mld", jnp.asarray(g_mat), filt[0, :freq], jnp.asarray(f_mat)
+            ).real.astype(x.dtype)
+            y = jnp.einsum("bld,mld->bmd", x, c)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=self.layer_norm_eps)(y + x)
 

@@ -123,3 +123,20 @@ def test_item_reorder_properties(rng):
         # multiset preserved; padding untouched
         assert sorted(out[i, :n]) == sorted(np.asarray(seq)[i, :n])
         assert (out[i, n:] == 0).all()
+
+
+def test_filter_layer_matmul_matches_fft(rng):
+    """The MXU linear-operator formulation equals the FFT path."""
+    B, L, D = 3, 10, 6
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    fft_layer = FilterLayer(max_seq_len=L, embed_dim=D, dropout=0.0, use_fft=True)
+    mm_layer = FilterLayer(max_seq_len=L, embed_dim=D, dropout=0.0, use_fft=False)
+    params = fft_layer.init(jax.random.PRNGKey(3), x)
+    a = fft_layer.apply(params, x)
+    b = mm_layer.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # grads agree too
+    ga = jax.grad(lambda p: jnp.sum(fft_layer.apply(p, x) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(mm_layer.apply(p, x) ** 2))(params)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-3)
