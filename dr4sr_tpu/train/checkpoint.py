@@ -52,13 +52,37 @@ def load_checkpoint(path: str, target_params: Any) -> Tuple[Any, Dict[str, Any]]
 
 
 def load_torch_embedding(path: str) -> Optional[np.ndarray]:
-    """Read ``parameters['item_embedding.weight']`` from a reference ``.ckpt``
-    (used to seed the regenerator, ``2.Pretrain_regenerator.py:169-178``)."""
-    import torch
+    """Read the item-embedding table from a reference torch ``.ckpt``
+    (``parameters['item_embedding.weight']``, cf.
+    ``2.Pretrain_regenerator.py:169-178``) **or** from one of our msgpack
+    checkpoints (``params['item_embedding']['embedding']``)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head.startswith(b"PK") or head.startswith(b"\x80"):  # torch zip/pickle
+        import torch
 
-    saved = torch.load(path, map_location="cpu", weights_only=False)
-    params = saved.get("parameters", saved)
-    for key in ("item_embedding.weight", "item_embedding"):
-        if key in params:
-            return np.asarray(params[key].detach().cpu().numpy(), np.float32)
-    return None
+        saved = torch.load(path, map_location="cpu", weights_only=False)
+        params = saved.get("parameters", saved)
+        for key in ("item_embedding.weight", "item_embedding"):
+            if key in params:
+                return np.asarray(params[key].detach().cpu().numpy(), np.float32)
+        return None
+    # flax msgpack: deserialize without a target template
+    from flax.serialization import msgpack_restore
+
+    with open(path, "rb") as f:
+        tree = msgpack_restore(f.read())
+
+    def find(node):
+        if isinstance(node, dict):
+            if "item_embedding" in node:
+                emb = node["item_embedding"]
+                if isinstance(emb, dict) and "embedding" in emb:
+                    return np.asarray(emb["embedding"], np.float32)
+            for v in node.values():
+                out = find(v)
+                if out is not None:
+                    return out
+        return None
+
+    return find(tree)

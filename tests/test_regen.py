@@ -121,3 +121,18 @@ def test_pretrained_embedding_injection(tiny_world):
     # catalog rows started from the injected values (then trained 1 epoch);
     # SOS/EOS rows came from init — just check the table isn't the init normal
     assert abs(table[:NUM_ITEMS].mean() - 0.5) < 0.2
+
+
+def test_load_embedding_from_msgpack(tmp_path, tiny_world):
+    """Embedding loader reads our framework checkpoints too."""
+    import jax
+
+    from dr4sr_tpu.train.checkpoint import load_torch_embedding, save_checkpoint
+
+    params = {"item_embedding": {"embedding": np.full((10, 4), 2.5, np.float32)},
+              "other": {"w": np.zeros(3, np.float32)}}
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, params, {"model": {}}, "SASRec", 0, {})
+    emb = load_torch_embedding(path)
+    assert emb.shape == (10, 4)
+    np.testing.assert_allclose(emb, 2.5)
