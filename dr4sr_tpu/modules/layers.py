@@ -284,21 +284,23 @@ import numpy as _np
 
 @_functools.lru_cache(maxsize=8)
 def _dft_matrices(l: int):
-    """Constant rfft/irfft operator matrices (norm='ortho').
-
-    F [freq, L] complex: X = F @ x  (rfft along L)
-    G [L, freq] complex: y = Re(G @ X)  (irfft back to length L)
+    """Constant rfft/irfft operator matrices (norm='ortho'), as REAL arrays
+    (some TPU runtimes lack complex matmul): returns (Fr, Fi, A, B) with
+    rfft(x) = (Fr + i·Fi) @ x and irfft(u + i·v) = A @ u + B @ v.
     Built by transforming identity matrices host-side.
     """
     eye = _np.eye(l)
-    f = _np.fft.rfft(eye, axis=0, norm="ortho").astype(_np.complex64)  # [freq, L]
+    f = _np.fft.rfft(eye, axis=0, norm="ortho")  # [freq, L] complex
     freq = l // 2 + 1
     eye_f = _np.eye(freq)
-    # irfft is R-linear: irfft(u+iv) = A·u + B·v with A = irfft(I), B = irfft(iI);
-    # encode as G = A − iB so that Re(G·Z) = A·Re(Z) + B·Im(Z) = irfft(Z)
-    g = _np.fft.irfft(eye_f, n=l, axis=1, norm="ortho")
-    gi = _np.fft.irfft(1j * eye_f, n=l, axis=1, norm="ortho")
-    return f, (g - 1j * gi).astype(_np.complex64).T  # G [L, freq]
+    a = _np.fft.irfft(eye_f, n=l, axis=1, norm="ortho").T  # [L, freq]
+    b = _np.fft.irfft(1j * eye_f, n=l, axis=1, norm="ortho").T  # [L, freq]
+    return (
+        f.real.astype(_np.float32),
+        f.imag.astype(_np.float32),
+        a.astype(_np.float32),
+        b.astype(_np.float32),
+    )
 
 
 class FilterLayer(nn.Module):
@@ -322,18 +324,22 @@ class FilterLayer(nn.Module):
         b, l, d = x.shape
         freq = self.max_seq_len // 2 + 1
         w = self.param("complex_weight", normal_init, (1, freq, d, 2), jnp.float32)
-        filt = jax.lax.complex(w[..., 0], w[..., 1])  # [1, freq, D]
         if self.use_fft:
+            filt = jax.lax.complex(w[..., 0], w[..., 1])  # [1, freq, D]
             fx = jnp.fft.rfft(x, axis=1, norm="ortho")
             fx = fx * filt[:, : fx.shape[1]]
             y = jnp.fft.irfft(fx, n=l, axis=1, norm="ortho").astype(x.dtype)
         else:
-            f_mat, g_mat = _dft_matrices(l)
-            # C[m, l', d] = Re( Σ_f G[m, f] w[f, d] F[f, l'] )
-            c = jnp.einsum(
-                "mf,fd,fl->mld", jnp.asarray(g_mat), filt[0, :freq], jnp.asarray(f_mat)
-            ).real.astype(x.dtype)
-            y = jnp.einsum("bld,mld->bmd", x, c)
+            freq_l = l // 2 + 1
+            fr, fi, a, b = (jnp.asarray(m) for m in _dft_matrices(l))
+            wr, wi = w[0, :freq_l, :, 0], w[0, :freq_l, :, 1]  # [freq, D]
+            # all-real expansion of C = Re(G diag(w) F):
+            #   M = diag(w)F -> Mr = wr⊙Fr − wi⊙Fi ; Mi = wr⊙Fi + wi⊙Fr
+            #   C = A·Mr + B·Mi   (shape [L, L, D])
+            mr = jnp.einsum("fd,fl->fld", wr, fr) - jnp.einsum("fd,fl->fld", wi, fi)
+            mi = jnp.einsum("fd,fl->fld", wr, fi) + jnp.einsum("fd,fl->fld", wi, fr)
+            c = jnp.einsum("mf,fld->mld", a, mr) + jnp.einsum("mf,fld->mld", b, mi)
+            y = jnp.einsum("bld,mld->bmd", x, c.astype(x.dtype))
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=self.layer_norm_eps)(y + x)
 
