@@ -1,15 +1,17 @@
-"""Benchmark: SASRec training throughput (sequences/sec/chip).
+"""Benchmark: training / eval / regeneration throughput on one TPU chip.
 
+Primary metric: SASRec training sequences/sec on the real amazon-toys
+workload (rebuilt from the reference's bundled ``seq2pat_data.pth``).
 Baseline: the reference trains SASRec on amazon-toys at ~13.4 s/epoch over
-~19.4k sequences on its GPU (BASELINE.md "Train runtime") ≈ 1449 seqs/s.
+~19.4k sequences on its GPU (BASELINE.md) ≈ 1449 seqs/s.
 
-Uses the real amazon-toys sequences (rebuilt from the reference's bundled
-``seq2pat_data.pth`` with the same leave-last-out protocol) when available,
-else a same-scale synthetic workload. Prints ONE JSON line.
+Extras: full-catalog masked top-k eval throughput and batched hybrid-decode
+throughput (vs the reference's batch=1 greedy loop). Prints ONE JSON line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -36,75 +38,153 @@ def load_workload(max_seq_len: int = 50):
                                 max_len=10, seed=0)
         name = "synthetic-toys-scale"
     train, val, test, n_users, n_items = resplit_sequences(seqs, max_seq_len)
-    return name, train, n_users, n_items
+    return name, seqs, train, val, n_users, n_items
 
 
-def main():
+def bench_train(rec, train_rows, batch_size, n_steps=60):
+    import functools
+
     import jax
 
-    from dr4sr_tpu.utils.env import enable_compilation_cache
-
-    enable_compilation_cache()
-
     from dr4sr_tpu.data.loader import BatchIterator
-    from dr4sr_tpu.data.synthetic import synthetic_config
-    from dr4sr_tpu.models.base import RecModel
-    from dr4sr_tpu.models.registry import get_model_class
     from dr4sr_tpu.train.trainer import TrainState, make_optimizer
 
-    name, train_rows, n_users, n_items = load_workload()
-    batch_size = 256
-    cfg = synthetic_config(max_seq_len=50)
-    cfg["train"]["batch_size"] = batch_size
-
-    rec = RecModel(cfg, get_model_class("SASRec").build(cfg, n_items), n_items, n_users)
     loader = BatchIterator(train_rows, batch_size, shuffle=True, seed=0)
-
     rng = jax.random.PRNGKey(0)
     first = loader.sample_batch(batch_size)
     variables = rec.init(rng, jax.device_put(first))
-    tx = make_optimizer(cfg["train"])
+    tx = make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
     state = TrainState.create(apply_fn=rec.module.apply, params=variables["params"], tx=tx)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         loss, grads = jax.value_and_grad(
             lambda p: rec.training_loss({"params": p}, batch, rng)
         )(state.params)
         return state.apply_gradients(grads=grads), loss
 
-    # warmup (compile)
-    batches = []
-    it = iter(loader)
-    for _ in range(8):
-        batches.append(next(it))
+    batches = [loader.sample_batch(batch_size) for _ in range(8)]
     for i in range(3):
         rng, r = jax.random.split(rng)
-        state, loss = train_step(state, jax.device_put(batches[i % len(batches)]), r)
+        state, loss = train_step(state, jax.device_put(batches[i % 8]), r)
     jax.block_until_ready(loss)
 
-    # timed: full passes through prefetched host batches (includes h2d)
-    n_steps = 60
     t0 = time.perf_counter()
     for i in range(n_steps):
         rng, r = jax.random.split(rng)
-        state, loss = train_step(state, jax.device_put(batches[i % len(batches)]), r)
+        state, loss = train_step(state, jax.device_put(batches[i % 8]), r)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    return n_steps * batch_size / dt, 1000 * dt / n_steps, state
 
-    seqs_per_sec = n_steps * batch_size / dt
+
+def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20):
+    import jax
+    import jax.numpy as jnp
+
+    from dr4sr_tpu.data.loader import BatchIterator
+    from dr4sr_tpu.models.base import item_table
+    from dr4sr_tpu.ops.topk import masked_topk_scores
+
+    loader = BatchIterator(val_rows, batch_size, shuffle=False)
+    batch = loader.sample_batch(batch_size)
+    keep = jnp.asarray(np.arange(n_items) > 0)
+
+    @jax.jit
+    def step(params, batch, keep):
+        query = rec.encode_eval({"params": params}, batch)
+        table = item_table({"params": params})[:n_items]
+        return masked_topk_scores(query, table, k, item_keep_mask=keep,
+                                  user_hist=batch["user_hist"])
+
+    db = jax.device_put(batch)
+    out = step(state.params, db, keep)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = step(state.params, jax.device_put(batch), keep)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n_steps * batch_size / dt
+
+
+def bench_decode(n_items, sequences, batch_size=2048, max_len=25, n_batches=4):
+    import jax
+
+    from dr4sr_tpu.regen.decode import decode_dataset
+    from dr4sr_tpu.regen.generator import Generator
+
+    gen = Generator(num_items=n_items, k=5)
+    rng = jax.random.PRNGKey(0)
+    src0 = np.zeros((1, 8), np.int32)
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        src0, src0[:, :-1], np.ones(1, np.int32), np.asarray(1.0),
+    )
+    subset = [list(s) for s in sequences[: batch_size]]
+    # warmup/compile
+    decode_dataset(gen, variables, subset[:batch_size], 1,
+                   batch_size=batch_size, max_len=max_len)
+    t0 = time.perf_counter()
+    decode_dataset(gen, variables, subset, n_batches,
+                   batch_size=batch_size, max_len=max_len)
+    dt = time.perf_counter() - t0
+    return len(subset) * n_batches / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="training throughput only")
+    args = parser.parse_args()
+
+    import jax
+
+    from dr4sr_tpu.data.synthetic import synthetic_config
+    from dr4sr_tpu.models.base import RecModel
+    from dr4sr_tpu.models.registry import get_model_class
+    from dr4sr_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    name, seqs, train_rows, val_rows, n_users, n_items = load_workload()
+    batch_size = 256
+    cfg = synthetic_config(max_seq_len=50)
+    cfg["train"]["batch_size"] = batch_size
+
+    rec = RecModel(cfg, get_model_class("SASRec").build(cfg, n_items), n_items, n_users)
+    train_sps, step_ms, state = bench_train(rec, train_rows, batch_size)
+
+    extras = {
+        "num_items": int(n_items),
+        "num_train_rows": len(train_rows),
+        "batch_size": batch_size,
+        "step_ms": round(step_ms, 2),
+        "device": str(jax.devices()[0]),
+    }
+    if not args.quick:
+        try:
+            extras["eval_seqs_per_sec"] = round(
+                bench_eval(rec, state, val_rows, n_items), 1
+            )
+        except Exception as e:  # keep the primary metric alive
+            extras["eval_error"] = str(e)[:120]
+        try:
+            decode_sps = bench_decode(n_items, seqs)
+            extras["regen_decode_seqs_per_sec"] = round(decode_sps, 1)
+            # reference decodes one sequence per ~25-step Python loop; its
+            # own stage-3 runtime is hours for 19k×5 — use 30 seqs/s as a
+            # generous single-GPU estimate
+            extras["regen_vs_reference_est"] = round(decode_sps / 30.0, 1)
+        except Exception as e:
+            extras["decode_error"] = str(e)[:120]
+
     out = {
         "metric": f"train_seqs_per_sec_sasrec_{name}",
-        "value": round(seqs_per_sec, 1),
+        "value": round(train_sps, 1),
         "unit": "seqs/s",
-        "vs_baseline": round(seqs_per_sec / REFERENCE_SEQS_PER_SEC, 3),
-        "extras": {
-            "num_items": int(n_items),
-            "num_train_rows": len(train_rows),
-            "batch_size": batch_size,
-            "step_ms": round(1000 * dt / n_steps, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(train_sps / REFERENCE_SEQS_PER_SEC, 3),
+        "extras": extras,
     }
     print(json.dumps(out))
 

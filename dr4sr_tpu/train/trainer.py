@@ -381,6 +381,16 @@ class Trainer:
         }
         with open(path, "a") as f:
             f.write(json.dumps(clean) + "\n")
+        tb_dir = self.config["train"].get("tensorboard_dir")
+        if tb_dir:
+            if not hasattr(self, "_tb_writer"):
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb_writer = SummaryWriter(tb_dir)
+            step = int(record.get("epoch", 0))
+            for k, v in clean.items():
+                if isinstance(v, float):
+                    self._tb_writer.add_scalar(k, v, step)
 
     # -------------------------------------------------- fault tolerance/profiling
     def _state_path(self) -> str:
