@@ -26,6 +26,9 @@ def main():
                         help="size of the model mesh axis")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() first")
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="section.key=value",
+                        help="config override, e.g. --set model.sub_model=SASRec")
     args = parser.parse_args()
 
     if args.multihost:
@@ -38,6 +41,12 @@ def main():
         config["data"]["train_file"] = args.train_file
     if args.epochs is not None:
         config["train"]["epochs"] = args.epochs
+    for ov in args.overrides:
+        key, _, value = ov.partition("=")
+        section, _, name = key.partition(".")
+        import yaml as _yaml
+
+        config.setdefault(section, {})[name] = _yaml.safe_load(value)
 
     mesh_plan = None
     if (args.data_parallel is not None and args.data_parallel > 1) or args.model_parallel > 1:
