@@ -181,21 +181,145 @@ def flash_attention(
 import numpy as np
 
 
+def _flash_bwd_kernel(
+    mask_ref,  # [1, 1, Lk] int32 (1 = masked)
+    q_ref,  # [1, 1, Lq, Dh]
+    k_ref,  # [1, 1, Lk, Dh]
+    v_ref,  # [1, 1, Lk, Dh]
+    o_ref,  # [1, 1, Lq, Dh]
+    do_ref,  # [1, 1, Lq, Dh]
+    dq_ref,  # [1, 1, Lq, Dh]
+    dk_ref,  # [1, 1, Lk, Dh]
+    dv_ref,  # [1, 1, Lk, Dh]
+    *,
+    causal: bool,
+    block_q: int,
+    scale: float,
+):
+    """Flash-attention backward for one (batch, head): recomputes the softmax
+    per q-block in VMEM and accumulates dq/dk/dv — no [L, L] HBM tensor.
+
+        p  = softmax(q kᵀ·scale  + masks)
+        dv = pᵀ do
+        ds = p ⊙ (do vᵀ − rowsum(do ⊙ o))
+        dq = ds k·scale ;  dk = dsᵀ q·scale
+    """
+    lq = q_ref.shape[2]
+    lk = k_ref.shape[2]
+    dh = q_ref.shape[3]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    pad = (mask_ref[0, 0, :].reshape(1, lk) > 0)
+
+    dk_ref[0, 0] = jnp.zeros((lk, dh), dk_ref.dtype)
+    dv_ref[0, 0] = jnp.zeros((lk, dh), dv_ref.dtype)
+
+    num_qb = lq // block_q
+
+    def body(qb, _):
+        qs = qb * block_q
+        q = q_ref[0, 0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        o = o_ref[0, 0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(qs, block_q), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, Lk]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, lk), 0) + qs
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, lk), 1)
+        invalid = pad
+        if causal:
+            invalid = jnp.logical_or(invalid, col_ids > row_ids)
+        s = jnp.where(invalid, _NEG_INF, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        e = jnp.where(invalid, 0.0, e)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p = e / denom  # [bq, Lk]
+
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, Lk]
+        d_row = jnp.sum(do * o, axis=-1, keepdims=True)  # [bq, 1]
+        ds = p * (dp - d_row)
+        dq_ref[0, 0, pl.ds(qs, block_q), :] = (
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, 0] += (
+            jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+        ).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_qb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "interpret"))
+def flash_attention_bwd(
+    q, k, v, o, do, key_padding_mask, causal=True, block_q=64, interpret=False
+):
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / (dh**0.5)
+    block_q = min(block_q, _ceil_to(lq, 8))
+    lq_p = _ceil_to(lq, block_q)
+    lk_p = _ceil_to(lk, 128)
+
+    pad_q = ((0, 0), (0, 0), (0, lq_p - lq), (0, 0))
+    pad_k = ((0, 0), (0, 0), (0, lk_p - lk), (0, 0))
+    qp, op, dop = (jnp.pad(x, pad_q) for x in (q, o, do))
+    kp, vp = (jnp.pad(x, pad_k) for x in (k, v))
+    maskp = jnp.pad(
+        key_padding_mask.astype(jnp.int32), ((0, 0), (0, lk_p - lk)),
+        constant_values=1,
+    )[:, None, :]
+
+    spec_q = pl.BlockSpec((1, 1, lq_p, dh), lambda bi, hi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, 1, lk_p, dh), lambda bi, hi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel, causal=causal, block_q=block_q, scale=scale
+        ),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, lk_p), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_q, spec_k, spec_k, spec_q, spec_q,
+        ],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lq_p, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lk_p, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, lk_p, dh), v.dtype),
+        ),
+        interpret=interpret,
+    )(maskp, qp, kp, vp, op, dop)
+    return dq[:, :, :lq], dk[:, :, :lk], dv[:, :, :lk]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_diff(q, k, v, mask, causal):
-    """Differentiable wrapper: Pallas forward, flash-style recompute backward
-    (the jnp reference's VJP — no [B,H,L,L] tensor saved between fwd/bwd)."""
+    """Differentiable fused attention: Pallas forward AND backward kernels;
+    only (q, k, v, o, mask) are saved — no [B,H,L,L] residual."""
     return flash_attention(q, k, v, mask, causal)
 
 
 def _flash_diff_fwd(q, k, v, mask, causal):
-    return flash_attention(q, k, v, mask, causal), (q, k, v, mask)
+    o = flash_attention(q, k, v, mask, causal)
+    return o, (q, k, v, o, mask)
 
 
 def _flash_diff_bwd(causal, res, g):
-    q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, mask, causal), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, o, mask = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, o, g, mask, causal)
     dmask = np.zeros(mask.shape, jax.dtypes.float0)
     return dq, dk, dv, dmask
 

@@ -57,3 +57,38 @@ def test_reference_grads_finite(rng):
 
     g = jax.grad(f)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_backward_matches_reference_vjp(rng, causal):
+    from dr4sr_tpu.ops.attention import flash_attention_bwd
+
+    b, h, l, d = 2, 2, 50, 32
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    seqlen = np.array([50, 23])
+    mask = jnp.asarray(np.arange(l)[None, :] >= seqlen[:, None])
+    g = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+
+    o, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, mask, causal), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = flash_attention_bwd(q, k, v, o, g, mask, causal=causal,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-4)
+
+
+def test_flash_backward_long_sequence(rng):
+    from dr4sr_tpu.ops.attention import flash_attention_bwd
+
+    b, h, l, d = 1, 1, 200, 16
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    mask = jnp.zeros((b, l), bool)
+    g = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    o, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, mask, True), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = flash_attention_bwd(q, k, v, o, g, mask, causal=True,
+                                     block_q=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-4)
