@@ -73,9 +73,44 @@ def map_(pred: jnp.ndarray, target: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.sum(cum * p, axis=-1) / jnp.minimum(count, k)
 
 
+# ---------------------------------------------------------------------------
+# prediction metrics (reference ``evaluation/__init__.py:174-232``)
+# ---------------------------------------------------------------------------
+
+
+def logloss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample binary cross-entropy with logits."""
+    t = target.astype(jnp.float32)
+    return jnp.maximum(pred, 0) - pred * t + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+def accuracy(pred: jnp.ndarray, target: jnp.ndarray, thres: float = 0.5) -> jnp.ndarray:
+    return ((pred >= thres) == (target > 0.5)).astype(jnp.float32)
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return (pred - target) ** 2
+
+
+def mae(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(pred - target)
+
+
+def auc(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Global AUC via rank statistic (Mann-Whitney U); returns a scalar."""
+    order = jnp.argsort(pred)
+    ranks = jnp.argsort(order).astype(jnp.float32) + 1.0
+    pos = target > 0.5
+    n_pos = jnp.sum(pos)
+    n_neg = pred.shape[0] - n_pos
+    sum_pos_ranks = jnp.sum(jnp.where(pos, ranks, 0.0))
+    u = sum_pos_ranks - n_pos * (n_pos + 1) / 2.0
+    return u / jnp.maximum(n_pos * n_neg, 1.0)
+
+
 MetricFn = Callable[[jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
 
-metric_dict: Dict[str, MetricFn] = {
+metric_dict: Dict[str, Callable] = {
     "ndcg": ndcg,
     "recall": recall,
     "precision": precision,
@@ -83,9 +118,21 @@ metric_dict: Dict[str, MetricFn] = {
     "mrr": mrr,
     "hit": hit,
     "map": map_,
+    "logloss": logloss,
+    "accuracy": accuracy,
+    "mse": mse,
+    "mae": mae,
+    "auc": auc,
 }
 
-_TOPK_METRICS = set(metric_dict)
+_TOPK_METRICS = {"ndcg", "recall", "precision", "f1", "mrr", "hit", "map"}
+_PRED_METRICS = {"logloss", "accuracy", "mse", "mae", "auc"}
+
+
+def get_pred_metrics(metrics: Union[str, Sequence[str]]) -> List[str]:
+    if isinstance(metrics, str):
+        metrics = [metrics]
+    return [m for m in metrics if m in _PRED_METRICS]
 
 
 def get_rank_metrics(metrics: Union[str, Sequence[str]]) -> List[str]:

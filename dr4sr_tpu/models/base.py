@@ -140,6 +140,32 @@ class RecModel:
             return loss, query
         return loss
 
+    def alignment_uniformity_loss(
+        self, params, batch: Batch, rng: jax.Array
+    ) -> jax.Array:
+        """Representation-quality objective (reference ``SASRec.training_step``
+        with ``align=True``): alignment(query, pos_emb) + uniformity(query)
+        + uniformity(pos_emb) over valid positions."""
+        from dr4sr_tpu.modules.losses import alignment, uniformity
+
+        query = self.module.apply(
+            params, batch, training=True, rngs={"dropout": rng}
+        )
+        table = item_table(params)
+        pos_emb = table[batch["item_id"]]
+        d = query.shape[-1]
+        extra = pos_emb.ndim - query.ndim
+        q = jnp.broadcast_to(
+            query.reshape(query.shape[:-1] + (1,) * extra + (d,)), pos_emb.shape
+        )
+        valid = (batch["item_id"] != 0).reshape(-1)
+        qf, pf = q.reshape(-1, d), pos_emb.reshape(-1, d)
+        return (
+            alignment(qf, pf, valid)
+            + uniformity(qf, valid)
+            + uniformity(pf, valid)
+        )
+
     # -- eval --------------------------------------------------------------
     def encode_eval(self, params, batch: Batch) -> jax.Array:
         return self.module.apply(params, batch, training=False)

@@ -98,3 +98,39 @@ def augment(
             r_aug,
         )
     raise ValueError(f"unknown augmentation kind {kind!r}")
+
+
+def random_augmentation(
+    rng: jax.Array,
+    seq: Seq,
+    seqlen: Lens,
+    augment_threshold: int,
+    short_kinds: Tuple[str, ...] = ("item_mask",),
+    long_kinds: Tuple[str, ...] = ("item_crop", "item_mask", "item_reorder"),
+    tao: float = 0.2,
+    gamma: float = 0.7,
+    beta: float = 0.2,
+    mask_id: int = 0,
+) -> Tuple[Seq, Lens]:
+    """Length-conditioned augmentation (reference ``Random_Augmentation``,
+    ``module/data_augmentation.py:194-223``): rows longer than the threshold
+    draw from ``long_kinds``, shorter rows from ``short_kinds``. Fixed-shape:
+    both branches are computed and selected per row."""
+    r_short, r_long, r_pick = jax.random.split(rng, 3)
+    kw = dict(tao=tao, gamma=gamma, beta=beta, mask_id=mask_id)
+
+    def pick(r, kinds):
+        r_c, r_a = jax.random.split(r)
+        choice = jax.random.randint(r_c, (), 0, len(kinds))
+        branches = [
+            (lambda kk: (lambda rr: augment(rr, seq, seqlen, kk, **kw)))(k_)
+            for k_ in kinds
+        ]
+        return jax.lax.switch(choice, branches, r_a)
+
+    s_seq, s_len = pick(r_short, short_kinds)
+    l_seq, l_len = pick(r_long, long_kinds)
+    is_long = (seqlen > augment_threshold)[:, None]
+    out_seq = jnp.where(is_long, l_seq, s_seq)
+    out_len = jnp.where(is_long[:, 0], l_len, s_len)
+    return out_seq, out_len

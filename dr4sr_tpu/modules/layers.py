@@ -48,11 +48,21 @@ def seq_pooling(
     seqlen: jax.Array,  # [B]
     pooling_type: str = "mean",
     weight: Optional[jax.Array] = None,  # [B, L]
+    mask_token: Optional[jax.Array] = None,  # [B, L] bool, for 'mask' pooling
 ) -> jax.Array:
-    """Pooling over valid positions; `origin` zeroes padded positions."""
+    """Pooling over valid positions; `origin` zeroes padded positions.
+
+    ``mask`` pooling gathers the (single) True position per row — fixed-shape
+    equivalent of the reference's boolean-index gather
+    (``module/layers.py:36-40``).
+    """
     b, l, d = x.shape
     if weight is not None:
         x = x * weight[..., None]
+    if pooling_type == "mask":
+        assert mask_token is not None, "mask pooling needs mask_token"
+        idx = jnp.argmax(mask_token, axis=1)
+        return jnp.take_along_axis(x, idx[:, None, None].repeat(d, axis=2), axis=1)[:, 0]
     if pooling_type == "last":
         idx = jnp.clip(seqlen - 1, 0, l - 1)
         return jnp.take_along_axis(x, idx[:, None, None].repeat(d, axis=2), axis=1)[:, 0]

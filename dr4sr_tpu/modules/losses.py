@@ -69,6 +69,33 @@ def bpr_loss(
     return -loss / denom
 
 
+def alignment(x: jax.Array, y: jax.Array, valid: Optional[jax.Array] = None) -> jax.Array:
+    """Mean squared distance of L2-normalized pairs (reference
+    ``SASRec.alignment``, ``model/sasrec.py:100-102``)."""
+    nx = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    ny = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    d2 = jnp.sum((nx - ny) ** 2, axis=-1)
+    if valid is not None:
+        return jnp.sum(jnp.where(valid, d2, 0.0)) / jnp.maximum(valid.sum(), 1)
+    return jnp.mean(d2)
+
+
+def uniformity(x: jax.Array, valid: Optional[jax.Array] = None) -> jax.Array:
+    """log-mean-exp(-2·pairwise-distance²) over normalized reps (reference
+    ``SASRec.uniformity``). Uses the full pairwise matrix minus the diagonal
+    (pdist equivalent)."""
+    nx = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    d2 = jnp.sum((nx[:, None] - nx[None, :]) ** 2, axis=-1)  # [N, N]
+    n = x.shape[0]
+    off = ~jnp.eye(n, dtype=bool)
+    if valid is not None:
+        off = off & valid[:, None] & valid[None, :]
+    w = off.astype(jnp.float32)
+    return jnp.log(
+        jnp.sum(jnp.exp(-2.0 * d2) * w) / jnp.maximum(jnp.sum(w), 1.0)
+    )
+
+
 def info_nce_loss(
     rep_i: jax.Array,  # [B, D]
     rep_j: jax.Array,  # [B, D]
@@ -77,9 +104,11 @@ def info_nce_loss(
     instance_labels: Optional[jax.Array] = None,  # [B]
     valid: Optional[jax.Array] = None,  # [B] bool; False rows contribute 0
     reduce: bool = True,
+    neg_type: str = "batch_both",
 ) -> jax.Array:
-    """'batch_both' InfoNCE: logits = [sim_ij | sim_ii] with self (and
-    same-label pairs) masked; label = own column in sim_ij."""
+    """In-batch InfoNCE. ``batch_both``: logits = [sim_ij | sim_ii] (2B-1
+    negatives) with self (and same-label pairs) masked; ``batch_single``:
+    logits = sim_ij only (B-1 negatives). Label = own column in sim_ij."""
     b = rep_i.shape[0]
     if sim_method == "cosine":
         rep_i = rep_i / jnp.maximum(jnp.linalg.norm(rep_i, axis=-1, keepdims=True), 1e-12)
@@ -101,7 +130,10 @@ def info_nce_loss(
         sim_ii = jnp.where(col_pad, _NEG, sim_ii)
         sim_ij = jnp.where(col_pad & ~eye, _NEG, sim_ij)
 
-    logits = jnp.concatenate([sim_ij, sim_ii], axis=-1)  # [B, 2B]
+    if neg_type == "batch_single":
+        logits = sim_ij
+    else:
+        logits = jnp.concatenate([sim_ij, sim_ii], axis=-1)  # [B, 2B]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     per_row = -log_probs[jnp.arange(b), jnp.arange(b)]
     if valid is not None:

@@ -116,3 +116,66 @@ def test_info_nce_valid_mask(rng):
     masked = info_nce_loss(jnp.asarray(xi), jnp.asarray(xj), valid=jnp.asarray(valid))
     sub = info_nce_loss(jnp.asarray(xi[:5]), jnp.asarray(xj[:5]))
     np.testing.assert_allclose(float(masked), float(sub), rtol=1e-5)
+
+
+def test_info_nce_batch_single(rng):
+    B, D = 5, 6
+    xi = rng.normal(size=(B, D)).astype(np.float32)
+    xj = rng.normal(size=(B, D)).astype(np.float32)
+    ours = info_nce_loss(jnp.asarray(xi), jnp.asarray(xj), temperature=0.9,
+                         neg_type="batch_single")
+    sim = (xi @ xj.T / 0.9).astype(np.float64)
+    logz = np.log(np.exp(sim - sim.max(-1, keepdims=True)).sum(-1)) + sim.max(-1)
+    ce = (logz - sim[np.arange(B), np.arange(B)]).mean()
+    np.testing.assert_allclose(float(ours), ce, rtol=1e-3)
+
+
+def test_alignment_and_uniformity(rng):
+    from dr4sr_tpu.modules.losses import alignment, uniformity
+
+    x = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    # identical reps -> alignment 0, uniformity 0 (= log exp(0))
+    np.testing.assert_allclose(float(alignment(x, x)), 0.0, atol=1e-6)
+    same = jnp.ones((4, 3))
+    np.testing.assert_allclose(float(uniformity(same)), 0.0, atol=1e-5)
+    # orthogonal pairs: normalized distance² = 2 -> alignment 2
+    a = jnp.asarray([[1.0, 0.0], [0.0, 3.0]])
+    b = jnp.asarray([[0.0, 2.0], [5.0, 0.0]])
+    np.testing.assert_allclose(float(alignment(a, b)), 2.0, rtol=1e-6)
+
+
+def test_random_augmentation_length_conditioned(rng):
+    from dr4sr_tpu.modules.augmentation import random_augmentation
+
+    B, L = 6, 12
+    seqlen = np.array([2, 3, 10, 11, 2, 12], np.int32)
+    seq = np.zeros((B, L), np.int32)
+    for i in range(B):
+        seq[i, : seqlen[i]] = rng.integers(1, 50, size=seqlen[i])
+    out, out_len = random_augmentation(
+        jax.random.PRNGKey(0), jnp.asarray(seq), jnp.asarray(seqlen),
+        augment_threshold=5, short_kinds=("item_mask",),
+        long_kinds=("item_crop",), gamma=0.5, tao=0.5, mask_id=99,
+    )
+    out, out_len = np.asarray(out), np.asarray(out_len)
+    for i in range(B):
+        if seqlen[i] > 5:  # long rows were cropped
+            assert out_len[i] == max(1, int(0.5 * seqlen[i]))
+        else:  # short rows were masked (length unchanged)
+            assert out_len[i] == seqlen[i]
+
+
+def test_pred_metrics():
+    from dr4sr_tpu.evaluation import accuracy, auc, logloss, mae, mse
+
+    pred = jnp.asarray([2.0, -1.0, 0.5, -2.0])
+    target = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    assert float(accuracy(jax.nn.sigmoid(pred), target).mean()) == 1.0
+    np.testing.assert_allclose(float(auc(pred, target)), 1.0)
+    ll = logloss(pred, target)
+    expect = -np.log(1 / (1 + np.exp(-np.asarray(pred)))) * np.asarray(target) \
+        - np.log(1 - 1 / (1 + np.exp(-np.asarray(pred)))) * (1 - np.asarray(target))
+    np.testing.assert_allclose(np.asarray(ll), expect, rtol=1e-5)
+    np.testing.assert_allclose(float(mse(pred, target).mean()),
+                               float(((np.asarray(pred) - np.asarray(target))**2).mean()))
+    assert float(mae(pred, target).mean()) > 0
