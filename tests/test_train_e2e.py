@@ -98,3 +98,35 @@ def test_recommender_serving(trained, tmp_path):
         assert 0 not in items[i]
         assert not set(h) & set(items[i].tolist())  # seen items excluded
         assert (np.diff(scores[i]) <= 1e-6).all()
+
+
+def test_resume_from_snapshot(synthetic_root_module, synthetic_config_module, tmp_path):
+    """Preemption recovery: full-state snapshot restores params+opt+epoch."""
+    import jax
+
+    cfg = copy.deepcopy(synthetic_config_module)
+    cfg["train"]["epochs"] = 2
+    cfg["train"]["checkpoint_every_epochs"] = 1
+    datasets = prepare_datasets(cfg, root=synthetic_root_module)
+    t1 = Trainer(cfg, datasets, workdir=str(tmp_path))
+    t1.fit()
+    step_before = int(t1.state.step)
+
+    datasets2 = prepare_datasets(cfg, root=synthetic_root_module)
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["train"]["epochs"] = 3
+    t2 = Trainer(cfg2, datasets2, workdir=str(tmp_path))
+    t2.init_state()
+    resumed_epoch = t2.restore_train_state()
+    assert resumed_epoch == 2  # next epoch after the snapshot at epoch 1
+    assert int(t2.state.step) == step_before
+    # params actually restored
+    a = jax.tree_util.tree_leaves(jax.device_get(t1.state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(t2.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # fit(resume=True) continues to epoch 3 without error
+    t3 = Trainer(copy.deepcopy(cfg2), prepare_datasets(cfg2, root=synthetic_root_module),
+                 workdir=str(tmp_path))
+    t3.fit(resume=True)
+    assert t3.logged_metrics["epoch"] == 2
