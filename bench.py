@@ -164,6 +164,12 @@ def main():
     }
     if not args.quick:
         try:
+            big_sps, big_ms, _ = bench_train(rec, train_rows, 2048, n_steps=20)
+            extras["train_seqs_per_sec_bs2048"] = round(big_sps, 1)
+            extras["step_ms_bs2048"] = round(big_ms, 2)
+        except Exception as e:
+            extras["bigbatch_error"] = str(e)[:120]
+        try:
             extras["eval_seqs_per_sec"] = round(
                 bench_eval(rec, state, val_rows, n_items), 1
             )
