@@ -327,6 +327,26 @@ def _flash_diff_bwd(causal, res, g):
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+import contextlib
+import contextvars
+
+_FORCE_REFERENCE = contextvars.ContextVar("dr4sr_force_reference_attention",
+                                          default=False)
+
+
+@contextlib.contextmanager
+def reference_attention():
+    """Trace-time override: use the jnp attention path (fully differentiable
+    in both modes). Needed wherever forward-mode autodiff runs through the
+    model — custom_vjp Pallas kernels do not support jvp (e.g. the bilevel
+    hypergradient's HVPs)."""
+    token = _FORCE_REFERENCE.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_REFERENCE.reset(token)
+
+
 def multihead_attention(
     q: jax.Array,
     k: jax.Array,
@@ -336,6 +356,8 @@ def multihead_attention(
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU backends, jnp reference elsewhere."""
+    if _FORCE_REFERENCE.get():
+        use_pallas = False
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:

@@ -125,16 +125,21 @@ class MetaTrainer(Trainer):
             def step(params, meta_params, meta_opt_state, val_batch,
                      train_batch, rng):
                 r_val, r_train = jax.random.split(rng)
+                from dr4sr_tpu.ops.attention import reference_attention
+
                 val_loss_fn = lambda p: self.rec.training_loss(
                     {"params": p}, val_batch, r_val
                 )
                 train_loss_fn = lambda p, m: self._weighted_loss(
                     p, m, train_batch, r_train
                 )
-                hgrads = hypergradient(
-                    train_loss_fn, val_loss_fn, params, meta_params,
-                    lr=self.hpo_lr, truncate_iter=3,
-                )
+                # HVPs use forward-mode: route attention through the jnp
+                # path (Pallas custom_vjp kernels have no jvp rule)
+                with reference_attention():
+                    hgrads = hypergradient(
+                        train_loss_fn, val_loss_fn, params, meta_params,
+                        lr=self.hpo_lr, truncate_iter=3,
+                    )
                 hgrads = clip_by_global_norm(hgrads, 10.0)
                 updates, meta_opt_state = self.meta_tx.update(
                     hgrads, meta_opt_state, meta_params
