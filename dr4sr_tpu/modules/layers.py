@@ -240,17 +240,16 @@ class TransformerDecoder(nn.Module):
 
 
 class GRUCellNoBias(nn.Module):
-    """Single GRU step, bias-free (matches ``nn.GRU(bias=False)``)."""
+    """Single GRU step given precomputed input projections, bias-free
+    (matches ``nn.GRU(bias=False)``)."""
 
     hidden_dim: int
 
     @nn.compact
-    def __call__(self, h, x):
-        wi = nn.Dense(3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
-                      name="wi")(x)
+    def __call__(self, h, x_proj):  # x_proj: [B, 3H] = W_i x_t (precomputed)
         wh = nn.Dense(3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
                       name="wh")(h)
-        xr, xz, xn = jnp.split(wi, 3, axis=-1)
+        xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
         hr, hz, hn = jnp.split(wh, 3, axis=-1)
         r = nn.sigmoid(xr + hr)
         z = nn.sigmoid(xz + hz)
@@ -263,8 +262,9 @@ class GRUStack(nn.Module):
     """Multi-layer unidirectional GRU over [B, L, D] via ``lax.scan``.
 
     TPU-native replacement for the cuDNN GRU behind the reference's
-    ``GRULayer``: the per-step gate matmuls batch across B on the MXU and the
-    time loop is a compiled scan (no per-step dispatch).
+    ``GRULayer``: the input projections of all timesteps run as ONE
+    [B·L, Din]×[Din, 3H] MXU matmul before the scan (the cuDNN trick), and
+    only the recurrent [B, H]×[H, 3H] matmul stays in the time loop.
     """
 
     hidden_dim: int
@@ -274,6 +274,10 @@ class GRUStack(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:  # [B, L, Din] -> [B, L, H]
         b = x.shape[0]
         for layer in range(self.num_layers):
+            x_proj = nn.Dense(
+                3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
+                name=f"cell_{layer}_wi",
+            )(x)  # [B, L, 3H] in one matmul
             cell = GRUCellNoBias(self.hidden_dim, name=f"cell_{layer}")
             scan = nn.scan(
                 lambda c, carry, xt: c(carry, xt),
@@ -283,7 +287,7 @@ class GRUStack(nn.Module):
                 out_axes=1,
             )
             h0 = jnp.zeros((b, self.hidden_dim), x.dtype)
-            _, x = scan(cell, h0, x)
+            _, x = scan(cell, h0, x_proj)
         return x
 
 

@@ -31,7 +31,7 @@ def test_gru_matches_manual_recurrence(rng):
     gru = GRUStack(hidden_dim=H, num_layers=1)
     params = gru.init(jax.random.PRNGKey(0), x)
     out = gru.apply(params, x)
-    wi = np.asarray(params["params"]["cell_0"]["wi"]["kernel"])  # [Din, 3H]
+    wi = np.asarray(params["params"]["cell_0_wi"]["kernel"])  # [Din, 3H]
     wh = np.asarray(params["params"]["cell_0"]["wh"]["kernel"])  # [H, 3H]
 
     def sigmoid(a):
