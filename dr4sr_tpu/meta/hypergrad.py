@@ -16,7 +16,7 @@ the whole outer step compiles into a single XLA program.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

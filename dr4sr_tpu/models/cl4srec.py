@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 
 from dr4sr_tpu.models.registry import register_model
 from dr4sr_tpu.models.sasrec import SASRec, SASRecEncoder

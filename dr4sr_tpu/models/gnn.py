@@ -16,11 +16,10 @@ to sort-based scatter which beats materializing an [N, N] dense adjacency
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dr4sr_tpu.models.base import embedding_init

@@ -12,7 +12,6 @@ from typing import Any, Dict
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from dr4sr_tpu.models.base import embedding_init, normal_init
 from dr4sr_tpu.models.registry import register_model

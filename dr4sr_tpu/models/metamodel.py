@@ -20,18 +20,12 @@ are each one jitted program.
 
 from __future__ import annotations
 
-import copy
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
 
-from dr4sr_tpu.models.base import RecModel
-from dr4sr_tpu.models.registry import get_model_class, register_model
-from dr4sr_tpu.modules.layers import MLP
+from dr4sr_tpu.models.registry import register_model
 
 
 @register_model("MetaModel")

@@ -6,7 +6,7 @@ Replaces the reference's reflection-based lookup
 
 from __future__ import annotations
 
-from typing import Dict, Type
+from typing import Dict
 
 _REGISTRY: Dict[str, type] = {}
 

@@ -13,7 +13,7 @@ boolean (no -inf writes); the whole encoder jits into one program.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ batch-vectorized transforms driven by ``jax.random``:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Masking semantics (reference ``inference_mask``/``inference_mask_generative``):
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Behavioral spec from the reference (``2.Pretrain_regenerator.py:95-216``):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

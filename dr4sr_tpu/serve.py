@@ -11,8 +11,7 @@ encode histories → full-catalog scores → mask PAD/seen → top-k.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from dr4sr_tpu.meta.hypergrad import clip_by_global_norm, hypergradient
