@@ -288,20 +288,21 @@ class PatternDataset(SeqDataset):
     ``PatternDataset``, ``data/dataset.py:166-222``)."""
 
     def _load(self) -> None:
-        super()._load()
-        if self.phase == "train":
+        if self.phase != "train":
+            super()._load()
+        else:
             suffix = self.config["data"].get("train_file", "")
-            parts = []
-            for dom in self.domain_name_list:
-                base = os.path.join(self.root, self.name, dom, "train" + suffix)
-                parts.append(load_rows(base, True, self.max_seq_len))
-            self._pattern_data = RowData.concat(parts)
-            # the "original" view drops the suffix
-            ori = [
-                load_rows(os.path.join(self.root, self.name, dom, "train"), True, self.max_seq_len)
+            self._pattern_data = RowData.concat([
+                load_rows(os.path.join(self.root, self.name, dom, "train" + suffix),
+                          True, self.max_seq_len)
                 for dom in self.domain_name_list
-            ]
-            self._data = RowData.concat(ori)
+            ])
+            # the "original" view drops the suffix
+            self._data = RowData.concat([
+                load_rows(os.path.join(self.root, self.name, dom, "train"),
+                          True, self.max_seq_len)
+                for dom in self.domain_name_list
+            ])
         self.mode = "original"
 
     def set_mode(self, mode: str) -> None:

@@ -167,6 +167,6 @@ def compute_rank_metrics(
     out = {}
     for c in cutoffs:
         for m in metric_names:
-            if m in metric_dict:
+            if m in _TOPK_METRICS:  # pred metrics don't take a cutoff
                 out[f"{m}@{c}"] = metric_dict[m](pred, target, int(c))
     return out

@@ -101,9 +101,13 @@ def propagate_mean(
         msgs = emb[g.col] * g.weight[:, None]
         emb = jax.ops.segment_sum(msgs, g.row, num_segments=g.num_nodes)
         if noise_rng is not None and noise_eps > 0.0:
+            # SimGCL: Δ = sign(e) ⊙ (row-L2-normalized noise) · ε
             noise_rng, r = jax.random.split(noise_rng)
             noise = jax.random.uniform(r, emb.shape)
-            emb = emb + jnp.sign(emb) * jax.nn.standardize(noise) * noise_eps
+            noise = noise / jnp.maximum(
+                jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-12
+            )
+            emb = emb + jnp.sign(emb) * noise * noise_eps
         acc = acc + emb
     return acc / (num_layers + 1)
 
@@ -356,8 +360,13 @@ def item_insert(
     rows = jnp.arange(b)[:, None].repeat(l, 1)
     out = out.at[rows, out_pos_ins].add(jnp.where(chosen, similar, 0))
     out = out.at[rows, out_pos_item].add(jnp.where(pos < seqlen[:, None], seq, 0))
-    new_len = jnp.minimum(seqlen + ins_len, l)
-    # keep the first new_len tokens, re-packed into width L
-    keep = jnp.arange(width)[None, :] < (seqlen + ins_len)[:, None]
+    total = seqlen + ins_len
+    new_len = jnp.minimum(total, l)
+    keep = jnp.arange(width)[None, :] < total[:, None]
     out = jnp.where(keep, out, 0)
-    return out[:, :l], new_len
+    # keep the most recent L tokens (truncate from the left, like the
+    # reference pipeline's truncate_or_pad)
+    offset = jnp.maximum(total - l, 0)
+    src = offset[:, None] + jnp.arange(l)[None, :]
+    out = jnp.take_along_axis(out, jnp.clip(src, 0, width - 1), axis=1)
+    return out, new_len

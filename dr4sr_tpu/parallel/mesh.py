@@ -26,9 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-# batch fields sharded along the batch (data) axis
-_BATCH_FIELDS_2D = {"in_item_id", "label", "domain_id", "user_hist", "item_id"}
-
 
 def init_distributed(**kwargs) -> None:
     """Multi-host initialization (idempotent)."""

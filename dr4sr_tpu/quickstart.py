@@ -43,12 +43,16 @@ def run(
     )
     trainer = make_trainer(config, datasets, mesh_plan=mesh_plan)
     trainer.fit()
-    return trainer.evaluate()
+    out = trainer.evaluate()
+    # expose the validation selection score so sweeps never select on test
+    out["val_best"] = float(trainer.callback.best_value)
+    return out
 
 
 def tune(config: Dict[str, Any], sweep: Dict[str, list], root: Optional[str] = None):
     """Grid sweep over ``{'section.key': [values...]}`` (replaces the wandb
-    sweep of ``tune.py``; maximizes ndcg@<cutoff[0]> on validation)."""
+    sweep of ``tune.py``). Selection uses the best VALIDATION monitor value
+    (never test metrics)."""
     import copy
     import itertools
 
@@ -61,8 +65,7 @@ def tune(config: Dict[str, Any], sweep: Dict[str, list], root: Optional[str] = N
             section, _, key = k.partition(".")
             cfg[section][key] = v
         out = run(cfg, root=root)
-        cutoff0 = int(cfg["eval"]["cutoff"][0])
-        score = out.get(f"ndcg@{cutoff0}", 0.0)
+        score = out["val_best"]
         results.append({"params": dict(zip(keys, combo)), "metrics": out})
         if best is None or score > best[0]:
             best = (score, results[-1])

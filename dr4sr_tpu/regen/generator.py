@@ -238,9 +238,11 @@ def generator_loss(
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     ce = jnp.sum(jnp.where(mask, nll, 0.0)) / jnp.maximum(mask.sum(), 1)
+    # reference adds reg_loss = -(p·log p).sum().mean() = +H(cond) with weight
+    # 1, i.e. minimizes ce + H — entropy is *penalized*, pushing each sample
+    # toward a peaked (distinct) condition choice
     ent = -jnp.sum(cond * jnp.log(cond + 1e-12), axis=-1).mean()
-    reg = -ent  # reference maximizes entropy: reg_loss = -H, added with +1 weight
-    loss = ce + entropy_weight * reg
+    loss = ce + entropy_weight * ent
     return loss, {"ce": ce, "entropy": ent}
 
 

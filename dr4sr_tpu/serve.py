@@ -35,7 +35,9 @@ class Recommender:
         self.max_seq_len = rec.max_seq_len
         self.batch_size = batch_size
         keep = (
-            np.ones(rec.num_items, bool) if item_keep_mask is None else item_keep_mask
+            np.ones(rec.num_items, bool)
+            if item_keep_mask is None
+            else np.array(item_keep_mask, bool)  # copy: never mutate caller's mask
         )
         keep[0] = False
         self.keep_mask = jnp.asarray(keep)

@@ -70,8 +70,28 @@ class MetaTrainer(Trainer):
 
     # -------------------------------------------------------------- loss fns
     def _weighted_loss(self, params, meta_params, batch, rng):
-        """Inner objective (reference ``MetaModel.training_step:174-194``)."""
+        """Inner objective (reference ``MetaModel.training_step:174-194``).
+
+        For contrastive sub-models (CL4SRec/CL4SRec2) the reference weights
+        only the main per-position loss and adds the InfoNCE term unweighted
+        (``rst += loss_value[1].sum()``, ``model/metamodel.py:189-193``).
+        """
         rng_loss, rng_gumbel = jax.random.split(rng)
+        cl_term = 0.0
+        if self.contrastive:
+            from dr4sr_tpu.models.cl4srec import cl_loss
+
+            rng_loss, rng_cl = jax.random.split(rng_loss)
+            aug_seq = batch.get("aug_in_item_id", batch["in_item_id"])
+            aug_len = batch.get("aug_seqlen", batch["seqlen"])
+            aug_valid = batch.get("aug_valid", batch.get("valid"))
+            if aug_valid is None:
+                aug_valid = jnp.ones(aug_seq.shape[0], bool)
+            cl = cl_loss(
+                self.rec.module, {"params": params}, rng_cl, aug_seq, aug_len,
+                aug_valid, self.config["model"], self.num_items,
+            )
+            cl_term = float(self.config["model"].get("cl_weight", 0.1)) * cl
         loss_ps, query = self.rec.training_loss(
             {"params": params}, batch, rng_loss, reduce=False, return_query=True
         )
@@ -95,7 +115,7 @@ class MetaTrainer(Trainer):
             while valid.ndim < weight.ndim:
                 valid = valid[..., None]
             weight = jnp.where(valid, weight, 0.0)
-        return jnp.sum(weight * loss_ps)
+        return jnp.sum(weight * loss_ps) + cl_term
 
     # ------------------------------------------------------------- jit steps
     @property

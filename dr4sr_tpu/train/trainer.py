@@ -137,9 +137,16 @@ class Trainer:
             apply_fn=self.rec.module.apply, params=variables["params"], tx=tx
         )
         if self.plan.mesh is not None:
-            from dr4sr_tpu.parallel.mesh import replicate
+            from dr4sr_tpu.parallel.mesh import replicate, shard_params
 
-            state = replicate(state, self.plan)
+            # params follow the plan (item table row-shards when configured);
+            # optimizer state mirrors the param placement automatically via
+            # re-initializing on the placed params
+            placed = shard_params(state.params, self.plan)
+            state = state.replace(params=placed, opt_state=state.tx.init(placed))
+            state = state.replace(
+                step=jax.device_put(state.step, self.plan.replicated())
+            )
         self.state = state
         self._rng = jax.random.PRNGKey(seed + 1)
         return state
