@@ -48,6 +48,10 @@ def main():
     parser.add_argument("--seed", type=int, default=2024)
     parser.add_argument("--embedding", type=str, default=None,
                         help="path to a pre-trained embedding ckpt")
+    parser.add_argument("--entropy_weight", type=float, default=1.0,
+                        help="condition-entropy coefficient; +1 matches the "
+                             "reference (penalize entropy -> peaked conditions), "
+                             "negative values maximize condition entropy")
     args = parser.parse_args()
 
     with open(os.path.join(args.root_path, "seq-pat-pair.pkl"), "rb") as f:
@@ -64,6 +68,7 @@ def main():
     gen, variables = pretrain_regenerator(
         pairs, num_items, k=args.K, epochs=args.epochs,
         batch_size=args.batch_size, seed=args.seed, pretrained_embedding=emb,
+        entropy_weight=args.entropy_weight,
     )
     out = os.path.join(args.root_path, args.output_name)
     with open(out, "wb") as f:
