@@ -26,6 +26,44 @@ from dr4sr_tpu.models.registry import register_model
 from dr4sr_tpu.modules.layers import FMLPEncoder
 
 
+def expand_prefix_rows(rows) -> "RowData":
+    """Per-prefix training rows (reference ``dataset_transform.ipynb`` cell 3,
+    the ``train_ori_seq`` file FMLP trains on): each train row becomes
+    ``seqlen`` rows — pre-padded prefix ``seq[:i+1]`` with the single target
+    ``target[i]`` and label 1.
+    """
+    from dr4sr_tpu.data.dataset import RowData
+
+    L = rows.max_seq_len
+    total = int(rows.seqlen.sum())
+    user_id = np.zeros(total, np.int32)
+    in_item = np.zeros((total, L), np.int32)
+    item = np.zeros(total, np.int32)
+    seqlen = np.zeros(total, np.int32)
+    domain = np.zeros(total, np.int32)
+    out = 0
+    for i in range(len(rows)):
+        n = int(rows.seqlen[i])
+        seq = rows.in_item_id[i]
+        tgt = rows.item_id[i]
+        for idx in range(n):
+            m = idx + 1
+            in_item[out, L - m :] = seq[:m]  # pre-padded prefix
+            item[out] = tgt[idx]
+            user_id[out] = rows.user_id[i]
+            seqlen[out] = m
+            domain[out] = rows.domain_id[i]
+            out += 1
+    return RowData(
+        user_id=user_id,
+        in_item_id=in_item,
+        item_id=item,
+        seqlen=seqlen,
+        label=np.ones(total, np.float32),
+        domain_id=domain,
+    )
+
+
 def pre_pad_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Move padding from the back to the front of each sequence (host-side).
 
@@ -92,7 +130,8 @@ class FMLPQueryEncoder(nn.Module):
 
 @register_model("FMLP")
 class FMLP:
-    pre_padding = True
+    pre_padding = True  # eval batches roll padding to the front (cell 8)
+    prefix_training = True  # train rows expand to per-prefix samples (cell 3)
 
     @staticmethod
     def build(config: Dict[str, Any], num_items: int, **kwargs) -> nn.Module:

@@ -177,7 +177,7 @@ class MetaTrainer(Trainer):
         total_loss, n_steps = None, 0
         warm = nepoch <= self.warmup_epoch
         for batch in loader:
-            dbatch = self._device_batch(batch)
+            dbatch = self._device_batch(batch, is_train=True)
             self._rng, r = jax.random.split(self._rng)
             if warm:
                 self.state, loss = self.train_step(self.state, dbatch, r)
@@ -189,8 +189,8 @@ class MetaTrainer(Trainer):
             n_steps += 1
             self.step_counter += 1
             if not warm and self.step_counter % self.interval == 0:
-                val_b = self._device_batch(meta_loader.sample_batch())
-                train_b = self._device_batch(meta_loader.sample_batch())
+                val_b = self._device_batch(meta_loader.sample_batch(), is_train=True)
+                train_b = self._device_batch(meta_loader.sample_batch(), is_train=True)
                 self._rng, r2 = jax.random.split(self._rng)
                 self.meta_params, self.meta_opt_state = self.outer_step(
                     self.state.params, self.meta_params, self.meta_opt_state,

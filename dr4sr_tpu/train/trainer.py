@@ -79,6 +79,16 @@ class Trainer:
         self.domain_name_list = self.train_data.domain_name_list
 
         self.pre_padding = bool(getattr(self.model_class, "pre_padding", False))
+        self.prefix_training = bool(
+            getattr(self.model_class, "prefix_training", False)
+            and self.config["data"].get("prefix_training", True)
+        )
+        if self.prefix_training:
+            # expand train rows to pre-padded per-prefix samples
+            # (reference dataset_transform.ipynb cell 3)
+            from dr4sr_tpu.models.fmlp import expand_prefix_rows
+
+            self.train_data.data = expand_prefix_rows(self.train_data.rows())
         self.contrastive = bool(getattr(self.model_class, "contrastive", False))
         self.aug_from_original = bool(
             getattr(self.model_class, "aug_from_original", False)
@@ -129,7 +139,8 @@ class Trainer:
         seed = int(self.config["train"].get("seed", 2023)) if seed is None else seed
         rng = jax.random.PRNGKey(seed)
         sample = self._device_batch(
-            self.train_data.get_loader(batch_size=2, shuffle=False).sample_batch(2)
+            self.train_data.get_loader(batch_size=2, shuffle=False).sample_batch(2),
+            is_train=True,
         )
         variables = self.rec.init(rng, sample)
         tx = make_optimizer(self.config["train"])
@@ -152,15 +163,20 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------ batch plumbing
-    def _host_transform(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        if self.pre_padding:
+    def _host_transform(
+        self, batch: Dict[str, np.ndarray], is_train: bool = False
+    ) -> Dict[str, np.ndarray]:
+        # prefix-expanded train rows are already pre-padded at build time
+        if self.pre_padding and not (is_train and self.prefix_training):
             from dr4sr_tpu.models.fmlp import pre_pad_batch
 
             batch = pre_pad_batch(batch)
         return batch
 
-    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
-        batch = self._host_transform(batch)
+    def _device_batch(
+        self, batch: Dict[str, np.ndarray], is_train: bool = False
+    ) -> Dict[str, jax.Array]:
+        batch = self._host_transform(batch, is_train=is_train)
         if self.plan.mesh is not None:
             batch = pad_batch_to_multiple(batch, self.plan.data_size)
         out = shard_batch(batch, self.plan)
@@ -312,7 +328,7 @@ class Trainer:
                 batch["aug_in_item_id"] = aug["in_item_id"]
                 batch["aug_seqlen"] = aug["seqlen"]
                 batch["aug_valid"] = aug["valid"]
-            dbatch = self._device_batch(batch)
+            dbatch = self._device_batch(batch, is_train=True)
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self.train_step(self.state, dbatch, step_rng)
             total_loss = loss if total_loss is None else total_loss + loss

@@ -89,3 +89,32 @@ def test_gnn_old_graph(zoo_setup, tmp_path):
     root, cfg = zoo_setup
     _run_model(root, cfg, "GNN", {"graph": "old", "gnn_layer": 1, "window": 2},
                str(tmp_path))
+
+
+def test_fmlp_prefix_expansion(zoo_setup, tmp_path):
+    """FMLP trains on per-prefix rows (reference dataset_transform cell 3)."""
+    import jax
+
+    root, cfg = zoo_setup
+    cfg = copy.deepcopy(cfg)
+    cfg["model"]["model"] = "FMLP"
+    cfg["model"].update({"layer_num": 1, "dropout_rate": 0.5})
+    cfg["train"]["epochs"] = 1
+    cfg["train"]["batch_size"] = 32
+    datasets = prepare_datasets(cfg, root=root)
+    n_orig = len(datasets[0])
+    total_positions = int(datasets[0].rows().seqlen.sum())
+    trainer = make_trainer(cfg, datasets, workdir=str(tmp_path))
+    assert trainer.prefix_training
+    rows = trainer.train_data.rows()
+    assert len(rows) == total_positions > n_orig
+    assert rows.item_id.ndim == 1  # single target per prefix row
+    # prefixes are pre-padded: zeros in front, content at the end
+    L = rows.max_seq_len
+    i = int(np.argmax(rows.seqlen))  # a longer row
+    n = int(rows.seqlen[i])
+    assert (rows.in_item_id[i][: L - n] == 0).all()
+    assert (rows.in_item_id[i][L - n :] != 0).all()
+    trainer.fit()
+    out = trainer.evaluate()
+    assert 0.0 <= out["ndcg@20"] <= 1.0
