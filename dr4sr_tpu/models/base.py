@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from dr4sr_tpu.modules.losses import binary_cross_entropy_loss, bpr_loss
 from dr4sr_tpu.ops.topk import masked_topk_scores
+from dr4sr_tpu.parallel.ep import ep_gather
 
 Batch = Dict[str, jax.Array]
 
@@ -73,8 +74,8 @@ def pos_neg_scores(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (pos_score, neg_score, mask). ``mask`` True = real position
     (reference writes -inf at pads instead; see modules.losses)."""
-    pos_emb = table[batch["item_id"]]
-    neg_emb = table[neg_id]
+    pos_emb = ep_gather(table, batch["item_id"])
+    neg_emb = ep_gather(table, neg_id)
     pos_score = dot_score(query, pos_emb)
     neg_score = dot_score(query, neg_emb)
     mask = batch["item_id"] != 0
@@ -152,7 +153,7 @@ class RecModel:
             params, batch, training=True, rngs={"dropout": rng}
         )
         table = item_table(params)
-        pos_emb = table[batch["item_id"]]
+        pos_emb = ep_gather(table, batch["item_id"])
         d = query.shape[-1]
         extra = pos_emb.ndim - query.ndim
         q = jnp.broadcast_to(

@@ -96,8 +96,11 @@ class FMLPQueryEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
 
     def setup(self):
+        from dr4sr_tpu.parallel.ep import padded_rows
+
         self.item_embedding = nn.Embed(
-            self.num_items, self.embed_dim, embedding_init=embedding_init
+            padded_rows(self.num_items), self.embed_dim,
+            embedding_init=embedding_init,
         )
         self.position_emb = nn.Embed(
             self.max_seq_len, self.embed_dim, embedding_init=normal_init
@@ -120,7 +123,11 @@ class FMLPQueryEncoder(nn.Module):
     ) -> jax.Array:
         seq = batch["in_item_id"]
         l = seq.shape[1]
-        x = self.item_embedding(seq) + self.position_emb(jnp.arange(l)[None, :])
+        from dr4sr_tpu.parallel.ep import embed_lookup
+
+        x = embed_lookup(self.item_embedding, seq) + self.position_emb(
+            jnp.arange(l)[None, :]
+        )
         x = self.input_norm(x)
         x = self.input_dropout(x, deterministic=not training)
         out = self.encoder(x, deterministic=not training)

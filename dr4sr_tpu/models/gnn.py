@@ -101,8 +101,11 @@ class GNNEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
 
     def setup(self):
+        from dr4sr_tpu.parallel.ep import padded_rows
+
         self.item_embedding = nn.Embed(
-            self.num_items, self.embed_dim, embedding_init=embedding_init
+            padded_rows(self.num_items), self.embed_dim,
+            embedding_init=embedding_init,
         )
         self.backbone = SASRecEncoder(
             num_items=1,  # placeholder table, unused (seq_emb injected)

@@ -26,8 +26,11 @@ class GRU4RecEncoder(nn.Module):
     dropout: float
 
     def setup(self):
+        from dr4sr_tpu.parallel.ep import padded_rows
+
         self.item_embedding = nn.Embed(
-            self.num_items, self.embed_dim, embedding_init=embedding_init
+            padded_rows(self.num_items), self.embed_dim,
+            embedding_init=embedding_init,
         )
         self.gru = GRUStack(self.hidden_size, self.num_layers)
         self.out_proj = nn.Dense(self.embed_dim, kernel_init=normal_init)
@@ -39,7 +42,9 @@ class GRU4RecEncoder(nn.Module):
         training: bool = False,
         need_pooling: bool = True,
     ) -> jax.Array:
-        x = self.item_embedding(batch["in_item_id"])
+        from dr4sr_tpu.parallel.ep import embed_lookup
+
+        x = embed_lookup(self.item_embedding, batch["in_item_id"])
         x = self.input_dropout(x, deterministic=not training)
         out = self.out_proj(self.gru(x))
         if not need_pooling:

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from dr4sr_tpu.models.base import embedding_init, normal_init
 from dr4sr_tpu.models.registry import register_model
 from dr4sr_tpu.modules.layers import TransformerEncoder, seq_pooling
+from dr4sr_tpu.parallel.ep import embed_lookup, padded_rows
 
 
 class SASRecEncoder(nn.Module):
@@ -41,7 +42,7 @@ class SASRecEncoder(nn.Module):
 
     def setup(self):
         self.item_embedding = nn.Embed(
-            self.num_items + self.extra_embedding_rows,
+            padded_rows(self.num_items + self.extra_embedding_rows),
             self.embed_dim,
             embedding_init=embedding_init,
         )
@@ -67,7 +68,7 @@ class SASRecEncoder(nn.Module):
     ) -> jax.Array:
         if batch.get("seq_emb") is None:
             seq = batch["in_item_id"]  # [B, L]
-            seq_embs = self.item_embedding(seq)
+            seq_embs = embed_lookup(self.item_embedding, seq)
             key_padding_mask = seq == 0
             l = seq.shape[1]
         else:

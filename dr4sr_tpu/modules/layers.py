@@ -149,10 +149,44 @@ class TransformerEncoder(nn.Module):
         return x
 
 
+def _attend_one(
+    q: jax.Array,  # [B, D] single query position
+    k: jax.Array,  # [B, L, D]
+    v: jax.Array,  # [B, L, D]
+    valid: jax.Array,  # [B, L] bool, True = attend
+    num_heads: int,
+) -> jax.Array:
+    """Single-position attention over a cache (math of :func:`mha_reference`
+    restricted to one query row — same scale, safe softmax)."""
+    b, l, d = k.shape
+    h = num_heads
+    dh = d // h
+    qh = q.reshape(b, h, dh)
+    kh = k.reshape(b, l, h, dh)
+    scores = jnp.einsum(
+        "bhd,blhd->bhl", qh, kh, preferred_element_type=jnp.float32
+    ) / (dh**0.5)
+    scores = jnp.where(valid[:, None, :], scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    e = jnp.where(scores <= -5e29, 0.0, e)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    out = jnp.einsum("bhl,blhd->bhd", p, v.reshape(b, l, h, dh).astype(jnp.float32))
+    return out.reshape(b, d).astype(q.dtype)
+
+
 class TransformerDecoderLayer(nn.Module):
     """Post-norm decoder layer (torch ``nn.TransformerDecoderLayer`` shape):
     causal self-attention → cross-attention over the encoder memory → FFN.
     Used by the regenerator (reference ``2.Pretrain_regenerator.py:139-149``).
+
+    Besides the full-sequence ``__call__`` (training / parity path), the layer
+    exposes an **incremental KV-cached path** for autoregressive decoding
+    (SURVEY §3.4): :meth:`cross_kv` projects the encoder memory once, and
+    :meth:`step` advances one position through per-layer self-attention K/V
+    caches — O(T) work per token instead of the reference's O(T²)
+    full-buffer recompute (``3.Hybrid_inference.py:185-208`` decodes batch=1
+    re-running the whole decoder each step).
     """
 
     embed_dim: int
@@ -162,7 +196,20 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "gelu"
     layer_norm_eps: float = 1e-12
 
-    @nn.compact
+    def setup(self):
+        d = self.embed_dim
+        self.self_qkv = nn.Dense(3 * d, kernel_init=normal_init)
+        self.self_out = nn.Dense(d, kernel_init=normal_init)
+        self.norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.cross_q = nn.Dense(d, kernel_init=normal_init)
+        self.cross_kv = nn.Dense(2 * d, kernel_init=normal_init)
+        self.cross_out = nn.Dense(d, kernel_init=normal_init)
+        self.norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.ffn1 = nn.Dense(self.ffn_dim, kernel_init=normal_init)
+        self.ffn2 = nn.Dense(d, kernel_init=normal_init)
+        self.norm3 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(
         self,
         x: jax.Array,  # [B, Lt, D] target stream
@@ -173,7 +220,7 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         use_pallas: Optional[bool] = None,
     ) -> jax.Array:
-        b, lt, d = x.shape
+        d = self.embed_dim
         h = self.num_heads
         dh = d // h
 
@@ -184,37 +231,74 @@ class TransformerDecoderLayer(nn.Module):
             return t.transpose(0, 2, 1, 3).reshape(t.shape[0], -1, d)
 
         # self attention (causal over the target)
-        qkv = nn.Dense(3 * d, kernel_init=normal_init, name="self_qkv")(x)
+        qkv = self.self_qkv(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = multihead_attention(
             split_heads(q), split_heads(k), split_heads(v),
             key_padding_mask=tgt_key_padding_mask, causal=causal,
             use_pallas=use_pallas,
         )
-        attn = nn.Dense(d, kernel_init=normal_init, name="self_out")(merge_heads(attn))
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x + attn)
+        attn = self.self_out(merge_heads(attn))
+        attn = self.drop(attn, deterministic=deterministic)
+        x = self.norm1(x + attn)
 
         # cross attention (queries from target, keys/values from memory)
-        q = nn.Dense(d, kernel_init=normal_init, name="cross_q")(x)
-        kv = nn.Dense(2 * d, kernel_init=normal_init, name="cross_kv")(memory)
+        q = self.cross_q(x)
+        kv = self.cross_kv(memory)
         k, v = jnp.split(kv, 2, axis=-1)
         cross = multihead_attention(
             split_heads(q), split_heads(k), split_heads(v),
             key_padding_mask=memory_key_padding_mask, causal=False,
             use_pallas=use_pallas,
         )
-        cross = nn.Dense(d, kernel_init=normal_init, name="cross_out")(merge_heads(cross))
-        cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x + cross)
+        cross = self.cross_out(merge_heads(cross))
+        cross = self.drop(cross, deterministic=deterministic)
+        x = self.norm2(x + cross)
 
         # FFN
-        y = nn.Dense(self.ffn_dim, kernel_init=normal_init, name="ffn1")(x)
+        y = self.ffn1(x)
         y = _activation(self.activation)(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(d, kernel_init=normal_init, name="ffn2")(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm3")(x + y)
+        y = self.drop(y, deterministic=deterministic)
+        y = self.ffn2(y)
+        y = self.drop(y, deterministic=deterministic)
+        return self.norm3(x + y)
+
+    def project_memory(self, memory: jax.Array):
+        """Once-per-decode cross-attention K/V from the encoder memory:
+        (k, v), each [B, Ls, D]."""
+        k, v = jnp.split(self.cross_kv(memory), 2, axis=-1)
+        return k, v
+
+    def step(
+        self,
+        x: jax.Array,  # [B, D] embedded token at position `pos`
+        cache_k: jax.Array,  # [B, Lmax, D] self-attn key cache
+        cache_v: jax.Array,  # [B, Lmax, D]
+        pos: jax.Array,  # scalar int32 position being written
+        mem_k: jax.Array,  # [B, Ls, D] precomputed cross keys
+        mem_v: jax.Array,  # [B, Ls, D]
+        memory_valid: jax.Array,  # [B, Ls] bool, True = real memory position
+    ):
+        """One decode position; returns (y [B, D], cache_k, cache_v)."""
+        qkv = self.self_qkv(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache_k, k[:, None], pos, axis=1
+        )
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache_v, v[:, None], pos, axis=1
+        )
+        valid = jnp.arange(cache_k.shape[1])[None, :] <= pos
+        valid = jnp.broadcast_to(valid, cache_k.shape[:2])
+        attn = _attend_one(q, cache_k, cache_v, valid, self.num_heads)
+        x = self.norm1(x + self.self_out(attn))
+
+        cross = _attend_one(self.cross_q(x), mem_k, mem_v, memory_valid,
+                            self.num_heads)
+        x = self.norm2(x + self.cross_out(cross))
+
+        y = self.ffn2(_activation(self.activation)(self.ffn1(x)))
+        return self.norm3(x + y), cache_k, cache_v
 
 
 class TransformerDecoder(nn.Module):
@@ -226,17 +310,39 @@ class TransformerDecoder(nn.Module):
     activation: str = "gelu"
     layer_norm_eps: float = 1e-12
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
+                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout,
+                self.activation, self.layer_norm_eps, name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
     def __call__(self, x, memory, tgt_key_padding_mask=None,
                  memory_key_padding_mask=None, causal=True, deterministic=True,
                  use_pallas=None):
-        for i in range(self.num_layers):
-            x = TransformerDecoderLayer(
-                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout,
-                self.activation, self.layer_norm_eps, name=f"layer_{i}",
-            )(x, memory, tgt_key_padding_mask, memory_key_padding_mask,
-              causal, deterministic, use_pallas)
+        for layer in self.layers:
+            x = layer(x, memory, tgt_key_padding_mask, memory_key_padding_mask,
+                      causal, deterministic, use_pallas)
         return x
+
+    def project_memory(self, memory: jax.Array):
+        """Per-layer cross K/V: ([nl, B, Ls, D], [nl, B, Ls, D])."""
+        ks, vs = zip(*(layer.project_memory(memory) for layer in self.layers))
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def step(self, x, cache_k, cache_v, pos, mem_k, mem_v, memory_valid):
+        """One position through all layers. Caches are [nl, B, Lmax, D];
+        returns (y [B, D], cache_k, cache_v)."""
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, ck, cv = layer.step(
+                x, cache_k[i], cache_v[i], pos, mem_k[i], mem_v[i], memory_valid
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+        return x, jnp.stack(new_k), jnp.stack(new_v)
 
 
 class GRUCellNoBias(nn.Module):

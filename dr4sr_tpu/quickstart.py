@@ -49,17 +49,36 @@ def run(
     return out
 
 
-def tune(config: Dict[str, Any], sweep: Dict[str, list], root: Optional[str] = None):
-    """Grid sweep over ``{'section.key': [values...]}`` (replaces the wandb
-    sweep of ``tune.py``). Selection uses the best VALIDATION monitor value
-    (never test metrics)."""
+def tune(
+    config: Dict[str, Any],
+    sweep: Dict[str, list],
+    root: Optional[str] = None,
+    method: str = "grid",
+    samples: Optional[int] = None,
+    seed: int = 0,
+):
+    """Hyperparameter sweep over ``{'section.key': [values...]}`` (replaces
+    the wandb sweep of ``tune.py``, which supports grid/random/bayes via
+    ``transform_config_into_sweep_config``). ``method='grid'`` enumerates the
+    product; ``method='random'`` draws ``samples`` combos uniformly (with
+    replacement, like wandb random search). Selection uses the best
+    VALIDATION monitor value (never test metrics)."""
     import copy
     import itertools
+    import random as _random
 
     keys = sorted(sweep)
+    if method == "random":
+        rng = _random.Random(seed)
+        n = samples or 10
+        combos = [tuple(rng.choice(sweep[k]) for k in keys) for _ in range(n)]
+    elif method == "grid":
+        combos = itertools.product(*(sweep[k] for k in keys))
+    else:
+        raise ValueError(f"unknown sweep method {method!r}")
     best = None
     results = []
-    for combo in itertools.product(*(sweep[k] for k in keys)):
+    for combo in combos:
         cfg = copy.deepcopy(config)
         for k, v in zip(keys, combo):
             section, _, key = k.partition(".")

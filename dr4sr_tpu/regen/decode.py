@@ -91,6 +91,79 @@ def greedy_decode_batch(
     return buf
 
 
+@functools.partial(
+    jax.jit, static_argnames=("generator", "max_len", "gamma")
+)
+def greedy_decode_batch_cached(
+    generator: Generator,
+    variables,
+    src: jax.Array,  # [B, Ls] SOS/EOS-framed, 0-padded
+    condition: jax.Array,  # [B] int condition index per lane
+    rng: jax.Array,
+    max_len: int = 25,
+    gamma: float = 0.0,
+) -> jax.Array:
+    """KV-cached greedy decode (VERDICT r1 #3 / SURVEY §3.4): identical
+    outputs to :func:`greedy_decode_batch` (parity-tested), but each step is
+    one incremental decoder position over per-layer self-attention caches with
+    once-projected cross-attention K/V — O(T) per lane instead of O(T²)."""
+    b = src.shape[0]
+    vocab = generator.num_items + 2
+    sos, eos = generator.sos, generator.eos
+
+    mem_k, mem_v = generator.apply(
+        variables, src, condition, method=Generator.decode_state
+    )
+    memory_valid = src != 0
+
+    in_src = jnp.zeros((b, vocab), bool).at[
+        jnp.arange(b)[:, None], src
+    ].set(True)
+    in_src = in_src.at[:, 0].set(False)  # PAD never allowed
+
+    nl = generator.num_layers
+    d = generator.embed_dim
+    cache_k = jnp.zeros((nl, b, max_len, d), mem_k.dtype)
+    cache_v = jnp.zeros_like(cache_k)
+
+    buf = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(sos)
+    emitted = jnp.zeros((b, vocab), bool).at[:, sos].set(True)
+    done = jnp.zeros(b, bool)
+
+    def body(i, carry):
+        buf, emitted, done, rng, cache_k, cache_v = carry
+        tok = jax.lax.dynamic_slice_in_dim(buf, i, 1, axis=1)[:, 0]
+        logits, cache_k, cache_v = generator.apply(
+            variables, tok, i, cache_k, cache_v, mem_k, mem_v, memory_valid,
+            method=Generator.cached_decode_step,
+        )  # [B, V]
+        rng, r = jax.random.split(rng)
+        use_generative = (
+            (jax.random.uniform(r, (b,)) < gamma) & (i > 1)
+            if gamma > 0.0
+            else jnp.zeros(b, bool)
+        )
+        restr = in_src & ~emitted
+        gen = ~emitted
+        gen = gen.at[:, 0].set(False)
+        allowed = jnp.where(use_generative[:, None], gen, restr)
+        masked = jnp.where(allowed, logits, NEG)
+        nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        dead = ~jnp.any(allowed, axis=-1)
+        nxt = jnp.where(done, 0, jnp.where(dead, eos, nxt))
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, nxt[:, None], i + 1, axis=1
+        )
+        emitted = emitted.at[jnp.arange(b), nxt].set(True)
+        done = done | (nxt == eos)
+        return buf, emitted, done, rng, cache_k, cache_v
+
+    buf, _, _, _, _, _ = jax.lax.fori_loop(
+        0, max_len - 1, body, (buf, emitted, done, rng, cache_k, cache_v)
+    )
+    return buf
+
+
 def decode_dataset(
     generator: Generator,
     variables,
@@ -102,6 +175,7 @@ def decode_dataset(
     gamma: float = 0.0,
     seed: int = 0,
     mesh_plan=None,
+    use_kv_cache: bool = True,
 ) -> List[List[int]]:
     """Decode every sequence under every condition; returns raw regenerated
     item lists (SOS/EOS stripped). Equivalent of the reference's
@@ -128,7 +202,8 @@ def decode_dataset(
             if pad_rows:
                 chunk = np.concatenate([chunk, np.zeros((pad_rows, max_src), np.int32)])
             rng, r = jax.random.split(rng)
-            buf = greedy_decode_batch(
+            decode_fn = greedy_decode_batch_cached if use_kv_cache else greedy_decode_batch
+            buf = decode_fn(
                 generator,
                 variables,
                 put(chunk),

@@ -200,6 +200,42 @@ class Generator(nn.Module):
         return logits, cond
 
     # -------------------------------------------------------------- inference
+    def decode_state(
+        self,
+        src: jax.Array,  # [B, Ls] SOS/EOS-framed, 0-padded
+        condition: jax.Array,  # [B] int condition index per lane
+    ):
+        """Once-per-decode setup for the KV-cached path: encode (non-causal,
+        like ``translate``'s zero src_mask), pick the per-lane conditioned
+        memory, and project per-layer cross-attention K/V — the projections
+        the full-buffer path recomputed every step. Returns
+        (mem_k, mem_v) each [num_layers, B, Ls, D]."""
+        memory = self.encode(src, causal=False, deterministic=True)
+        mem_k = self.conditioned_memory(memory)
+        memory_cond = jnp.take_along_axis(
+            mem_k, condition[:, None, None, None], axis=2
+        )[:, :, 0]
+        return self.decoder.project_memory(memory_cond)
+
+    def cached_decode_step(
+        self,
+        tok: jax.Array,  # [B] token at position `pos`
+        pos: jax.Array,  # scalar int32
+        cache_k: jax.Array,  # [nl, B, Lmax, D] self-attn caches
+        cache_v: jax.Array,
+        mem_k: jax.Array,  # [nl, B, Ls, D] from decode_state
+        mem_v: jax.Array,
+        memory_valid: jax.Array,  # [B, Ls] True = real src position
+    ):
+        """Incremental decoder step (SURVEY §3.4): O(pos) attention against
+        the K/V caches instead of re-running the decoder over the whole
+        buffer. Returns (logits [B, V], cache_k, cache_v)."""
+        x = self.item_embedding(tok) + self.position_embedding(pos)
+        y, cache_k, cache_v = self.decoder.step(
+            x, cache_k, cache_v, pos, mem_k, mem_v, memory_valid
+        )
+        return self.logits_from(y), cache_k, cache_v
+
     def decode_step(
         self,
         tgt_buf: jax.Array,  # [B, Lmax] current prefix (0-padded)

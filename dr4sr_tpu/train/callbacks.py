@@ -61,10 +61,12 @@ class EarlyStopping:
         if self.monitor not in metrics:
             raise ValueError(f"monitor {self.monitor} not in metrics {list(metrics)}")
         value = float(metrics[self.monitor])
+        # strict improvement (reference ``utils/callbacks.py:94-121``): a
+        # plateaued metric must NOT reset patience
         improved = (
-            value >= self.best_value + self.delta
+            value > self.best_value + self.delta
             if self.mode == "max"
-            else value <= self.best_value - self.delta
+            else value < self.best_value - self.delta
         )
         if improved:
             self.best_value = value

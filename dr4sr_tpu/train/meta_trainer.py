@@ -131,7 +131,7 @@ class MetaTrainer(Trainer):
                 )(state.params)
                 return state.apply_gradients(grads=grads), loss
 
-            self._compiled["weighted_train_step"] = step
+            self._compiled["weighted_train_step"] = self._with_ep_plan(step)
         return self._compiled["weighted_train_step"]
 
     @property
@@ -166,7 +166,7 @@ class MetaTrainer(Trainer):
                 meta_params = optax.apply_updates(meta_params, updates)
                 return meta_params, meta_opt_state
 
-            self._compiled["outer_step"] = step
+            self._compiled["outer_step"] = self._with_ep_plan(step)
         return self._compiled["outer_step"]
 
     # ------------------------------------------------------------ epoch loop

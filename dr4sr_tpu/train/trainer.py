@@ -18,6 +18,7 @@ table row-sharded over ``model``), and XLA inserts the psum/all-gathers.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from collections import defaultdict
 from typing import Any, Dict, Optional, Tuple
@@ -109,6 +110,29 @@ class Trainer:
         self.logged_metrics: Dict[str, float] = {}
         self.state: Optional[TrainState] = None
         self._compiled = {}
+        # EP: the mesh used for explicit shard_map embedding gathers. Bound
+        # per-trainer and installed process-globally right before every step
+        # call (trace-time read), so trainers with different plans coexist.
+        self._ep_mesh = (
+            self.plan.mesh
+            if (
+                self.plan.mesh is not None
+                and self.plan.shard_embedding
+                and self.plan.mesh.shape.get("model", 1) > 1
+            )
+            else None
+        )
+
+    def _with_ep_plan(self, fn):
+        """Wrap a compiled step so the EP plan is current whenever it traces."""
+        from dr4sr_tpu.parallel import ep
+
+        def wrapped(*args, **kwargs):
+            ep.set_plan(self._ep_mesh)
+            return fn(*args, **kwargs)
+
+        wrapped._jitted = fn  # lower()/HLO inspection (tests)
+        return wrapped
 
     # ------------------------------------------------------------------ graph
     def _build_graph(self) -> None:
@@ -136,6 +160,13 @@ class Trainer:
 
     # ------------------------------------------------------------------- init
     def init_state(self, seed: Optional[int] = None) -> TrainState:
+        from dr4sr_tpu.parallel import ep
+
+        # the EP plan is process-global and must be current while any trace
+        # runs: with a plan installed, model setup() declares the item table
+        # pre-padded to the model-axis shard size, and embedding gathers
+        # trace as shard_map psum gathers
+        ep.set_plan(self._ep_mesh)
         seed = int(self.config["train"].get("seed", 2023)) if seed is None else seed
         rng = jax.random.PRNGKey(seed)
         sample = self._device_batch(
@@ -224,7 +255,7 @@ class Trainer:
                 state = state.apply_gradients(grads=grads)
                 return state, loss
 
-            self._compiled["train_step"] = step
+            self._compiled["train_step"] = self._with_ep_plan(step)
         return self._compiled["train_step"]
 
     # --------------------------------------------------------------- eval step
@@ -283,7 +314,9 @@ class Trainer:
     def eval_step(self):
         """Per-sample metric arrays (analyzer path)."""
         if "eval_step" not in self._compiled:
-            self._compiled["eval_step"] = jax.jit(self._eval_metrics)
+            self._compiled["eval_step"] = self._with_ep_plan(
+                jax.jit(self._eval_metrics)
+            )
         return self._compiled["eval_step"]
 
     @property
@@ -302,7 +335,7 @@ class Trainer:
                 }
                 return sums, jnp.sum(valid.astype(jnp.float32))
 
-            self._compiled["eval_step_sums"] = step
+            self._compiled["eval_step_sums"] = self._with_ep_plan(step)
         return self._compiled["eval_step_sums"]
 
     # -------------------------------------------------------------- epoch loops
@@ -537,6 +570,13 @@ class Trainer:
                 summary = self._last_analyzer.summary()
                 if summary:
                     self.logger.info(f"analyzer (by history length): {summary}")
+                    # render the bucketed-metric figure every 10 epochs, like
+                    # the reference's wandb image push (utils/callbacks.py:161-198)
+                    base = self.workdir or self.config["eval"].get("save_path", "saved")
+                    fig = os.path.join(base, self.model_name,
+                                       self.config["data"]["dataset"],
+                                       "figures", f"epoch_{nepoch}.png")
+                    self._last_analyzer.plot(fig)
             if callback(self.state.params, self.config, nepoch, self.logged_metrics):
                 break
         self.callback = callback

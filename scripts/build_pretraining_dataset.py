@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--n_jobs", type=int, default=0)
     parser.add_argument("--max_seq_len", type=int, default=50)
     parser.add_argument("--seed", type=int, default=2024)
+    parser.add_argument("--patterns_out", type=str, default="patterns",
+                        help="basename (no .npz) for the pattern-rows output")
+    parser.add_argument("--pairs_out", type=str, default="seq-pat-pair.pkl")
     args = parser.parse_args()
 
     sequences = load_seq2pat(args.root_path)
@@ -59,9 +62,9 @@ def main():
     combined = RowData.concat([
         rows_from_lists(pat_rows, True, args.max_seq_len), train
     ])
-    combined.save_npz(os.path.join(args.root_path, "patterns.npz"))
+    combined.save_npz(os.path.join(args.root_path, args.patterns_out + ".npz"))
 
-    with open(os.path.join(args.root_path, "seq-pat-pair.pkl"), "wb") as f:
+    with open(os.path.join(args.root_path, args.pairs_out), "wb") as f:
         pickle.dump(pairs, f)
     print(f"wrote {len(pat_rows)} pattern rows + {len(pairs)} pairs")
 

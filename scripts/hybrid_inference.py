@@ -35,6 +35,15 @@ def main():
     parser.add_argument("--gamma", type=float, default=0.0,
                         help="per-step probability of generative masking")
     parser.add_argument("--max_seq_len", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out_name", type=str, default="train_regen",
+                        help="basename (no .npz) of the assembled train file")
+    parser.add_argument("--patterns_name", type=str, default="patterns")
+    parser.add_argument("--no_patterns", action="store_true",
+                        help="assemble original+regen only (drop pattern rows)")
+    parser.add_argument("--regen_cache", type=str, default=None,
+                        help="pickle path caching the decoded sequences; decode "
+                             "is skipped when it already exists")
     args = parser.parse_args()
 
     from scripts.pretrain_regenerator import domain_num_items
@@ -54,14 +63,25 @@ def main():
     with open(os.path.join(args.root_path, args.ckpt_name), "rb") as f:
         variables = serialization.from_bytes(jax.device_get(variables), f.read())
 
-    regen_rows, stats = hybrid_inference(
-        gen, variables, train, k_conditions=args.K,
-        batch_size=args.batch_size, max_len=args.max_len, gamma=args.gamma,
-    )
+    import pickle
+
+    if args.regen_cache and os.path.exists(args.regen_cache):
+        with open(args.regen_cache, "rb") as f:
+            regen_rows = pickle.load(f)
+        stats = {"cached": True, "unique_regenerated": len(regen_rows)}
+    else:
+        regen_rows, stats = hybrid_inference(
+            gen, variables, train, k_conditions=args.K,
+            batch_size=args.batch_size, max_len=args.max_len, gamma=args.gamma,
+            seed=args.seed,
+        )
+        if args.regen_cache:
+            with open(args.regen_cache, "wb") as f:
+                pickle.dump(regen_rows, f)
 
     # patterns rows (stage 1 output) are folded in if present
-    pat_path = os.path.join(args.root_path, "patterns")
-    if os.path.exists(pat_path + ".npz"):
+    pat_path = os.path.join(args.root_path, args.patterns_name)
+    if not args.no_patterns and os.path.exists(pat_path + ".npz"):
         patterns = load_rows(pat_path, True, args.max_seq_len)
         base = RowData.concat([patterns])  # already includes original train
         from dr4sr_tpu.data.dataset import rows_from_lists
@@ -70,8 +90,8 @@ def main():
         combined = RowData.concat([base, extra])
     else:
         combined = assemble_train_regen(train, [], regen_rows, args.max_seq_len)
-    combined.save_npz(os.path.join(args.root_path, "train_regen.npz"))
-    print(f"wrote train_regen.npz with {len(combined)} rows; stats={stats}")
+    combined.save_npz(os.path.join(args.root_path, args.out_name + ".npz"))
+    print(f"wrote {args.out_name}.npz with {len(combined)} rows; stats={stats}")
 
 
 if __name__ == "__main__":

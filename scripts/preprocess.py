@@ -4,6 +4,12 @@ Two modes (script-equivalent of the reference notebooks):
 
 * ``--raw-csv``: full protocol from a ratings CSV (user,item,rating,ts) —
   5-core filter, factorize, leave-last-out split (``preprocess_amazon.ipynb``).
+* ``--yelp-csv``: the yelp protocol (``preprocess_yelp.ipynb`` cells 4-9):
+  a headered 3-column CSV (user_id,item_id,timestamp), same 5-core filter +
+  split, no rating column.
+* ``--yelp-json``: raw Yelp academic ``review.json`` (JSON lines with
+  ``user_id``/``business_id``/``date``), converted to the 3-column frame and
+  then run through the same protocol.
 * ``--from-seq2pat``: rebuild train/val/test from a bundled
   ``seq2pat_data.pth``/``.npz`` (per-user sequences) with the same
   leave-last-out protocol — used for the datasets shipped with the reference,
@@ -45,6 +51,8 @@ def load_sequences(path):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--raw-csv", type=str, default=None)
+    parser.add_argument("--yelp-csv", type=str, default=None)
+    parser.add_argument("--yelp-json", type=str, default=None)
     parser.add_argument("--from-seq2pat", type=str, default=None)
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--max-seq-len", type=int, default=50)
@@ -53,11 +61,31 @@ def main():
     parser.add_argument("--domain-idx", type=int, default=0)
     args = parser.parse_args()
 
+    df = None
     if args.raw_csv:
         import pandas as pd
 
         df = pd.read_csv(args.raw_csv, header=None)
         df.columns = ["user_id", "item_id", "rating", "timestamp"]
+    elif args.yelp_csv:
+        import pandas as pd
+
+        df = pd.read_csv(args.yelp_csv)  # headered, per the yelp notebook
+        df = df.iloc[:, :3]
+        df.columns = ["user_id", "item_id", "timestamp"]
+    elif args.yelp_json:
+        import json
+
+        import pandas as pd
+
+        rows = []
+        with open(args.yelp_json) as f:
+            for line in f:
+                r = json.loads(line)
+                rows.append((r["user_id"], r["business_id"], r["date"]))
+        df = pd.DataFrame(rows, columns=["user_id", "item_id", "timestamp"])
+
+    if df is not None:
         df = core_filter(df, args.user_threshold, args.item_threshold)
         df, num_users, num_items = factorize_ids(df)
         df = df.sort_values(by=["user_id", "timestamp"])
@@ -72,7 +100,8 @@ def main():
         # re-derive seq2pat input under the new split (train-visible part)
         seqs = [list(s)[:-2] for s in raw if len(s) >= 3]
     else:
-        parser.error("one of --raw-csv / --from-seq2pat is required")
+        parser.error("one of --raw-csv / --yelp-csv / --yelp-json / "
+                     "--from-seq2pat is required")
 
     save_domain(args.out, train, val, test, num_users, num_items)
     offsets = np.cumsum([0] + [len(s) for s in seqs]).astype(np.int64)

@@ -42,6 +42,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--root_path", type=str, required=True)
     parser.add_argument("--output_name", type=str, default="regenerator.msgpack")
+    parser.add_argument("--pairs_name", type=str, default="seq-pat-pair.pkl")
     parser.add_argument("--K", type=int, default=5)
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--batch_size", type=int, default=256)
@@ -54,7 +55,7 @@ def main():
                              "negative values maximize condition entropy")
     args = parser.parse_args()
 
-    with open(os.path.join(args.root_path, "seq-pat-pair.pkl"), "rb") as f:
+    with open(os.path.join(args.root_path, args.pairs_name), "rb") as f:
         pairs = pickle.load(f)
     num_items = domain_num_items(args.root_path)
     print(f"{len(pairs)} pairs, num_items={num_items}")

@@ -20,14 +20,26 @@ def main():
     parser.add_argument("--root", type=str, default="dataset")
     parser.add_argument("--sweep", type=str, default=None,
                         help="sweep yaml path (default sweep/<model>.yaml)")
+    parser.add_argument("--method", type=str, default=None,
+                        choices=["grid", "random"],
+                        help="override the sweep file's `method` (default grid)")
+    parser.add_argument("--samples", type=int, default=None,
+                        help="number of draws for random search")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     config = load_config(args.model, args.dataset)
     sweep_path = args.sweep or os.path.join("sweep", args.model.lower() + ".yaml")
     with open(sweep_path) as f:
         sweep = yaml.safe_load(f)
+    # sweep files may carry wandb-style meta keys alongside the grid
+    method = args.method or sweep.pop("method", "grid")
+    samples = args.samples or sweep.pop("samples", None)
+    sweep.pop("metric", None)
 
-    best, results = quickstart.tune(config, sweep, root=args.root)
+    best, results = quickstart.tune(config, sweep, root=args.root,
+                                    method=method, samples=samples,
+                                    seed=args.seed)
     print(json.dumps({"best": best, "all": results}, indent=1, default=str))
 
 
