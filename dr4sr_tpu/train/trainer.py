@@ -217,6 +217,14 @@ class Trainer:
     # -------------------------------------------------------------- train step
     def _loss_fn(self, params, batch, rng):
         variables = {"params": params}
+        aux_fn = getattr(self.model_class, "aux_loss", None)
+        if aux_fn is not None:
+            rng, r_aux = jax.random.split(rng)
+            main = self.rec.training_loss(variables, batch, rng)
+            return main + aux_fn(
+                self.rec.module, variables, batch, r_aux,
+                self.config["model"], self.num_items,
+            )
         if self.contrastive:
             r_main, r_cl = jax.random.split(rng)
             loss = self.rec.training_loss(variables, batch, r_main)
@@ -341,6 +349,11 @@ class Trainer:
     # -------------------------------------------------------------- epoch loops
     def training_epoch(self, nepoch: int) -> float:
         assert self.state is not None, "call init_state() first"
+        refresh = getattr(self.model_class, "refresh_state", None)
+        if refresh is not None:
+            # per-epoch host-driven model state (k-means prototype E-steps);
+            # merged into every batch as device constants
+            self.batch_extras.update(refresh(self, nepoch))
         loader = self.train_data.get_loader(seed=nepoch)
         aug_iter = None
         if self.aug_from_original:

