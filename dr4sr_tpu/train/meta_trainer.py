@@ -40,6 +40,12 @@ class MetaTrainer(Trainer):
         self.warmup_epoch = int(config["train"].get("warmup_epoch", 10))
         self.tau_min = float(config["model"].get("tau_min", 1.0))
         self.hpo_lr = float(config["train"].get("hpo_learning_rate", 1e-3))
+        # 'sum' is the reference arithmetic (Σ weight·loss,
+        # model/metamodel.py:182-193) whose magnitude jumps ~B·L× at the
+        # warmup→weighted transition; 'mean' normalizes by the number of
+        # weightable positions so the inner objective stays on the warmup
+        # scale (VERDICT r1 weak-#2 audit knob)
+        self.inner_scale = str(config["train"].get("inner_loss_scale", "sum"))
         self.meta_module = MLP((int(sub_config["model"]["embed_dim"]), 2))
         self.step_counter = 0
 
@@ -115,7 +121,17 @@ class MetaTrainer(Trainer):
             while valid.ndim < weight.ndim:
                 valid = valid[..., None]
             weight = jnp.where(valid, weight, 0.0)
-        return jnp.sum(weight * loss_ps) + cl_term
+        total = jnp.sum(weight * loss_ps)
+        if self.inner_scale == "mean":
+            weightable = jnp.broadcast_to(
+                ~pad, jnp.broadcast_shapes(pad.shape, loss_ps.shape)
+            )
+            if "valid" in batch:
+                v = batch["valid"]
+                v = v.reshape(v.shape + (1,) * (weightable.ndim - v.ndim))
+                weightable = weightable & v
+            total = total / jnp.maximum(jnp.sum(weightable), 1)
+        return total + cl_term
 
     # ------------------------------------------------------------- jit steps
     @property
@@ -169,6 +185,49 @@ class MetaTrainer(Trainer):
             self._compiled["outer_step"] = self._with_ep_plan(step)
         return self._compiled["outer_step"]
 
+    # --------------------------------------------------------- observability
+    @property
+    def weight_stats_step(self):
+        """Distribution of the learned per-sample weights on a probe batch —
+        logged per epoch so sweeps can see whether the meta-net actually
+        differentiates samples (VERDICT r1 weak-#2) instead of collapsing
+        to uniform."""
+        if "weight_stats" not in self._compiled:
+
+            @jax.jit
+            def step(params, meta_params, batch, rng):
+                rng_loss, rng_gumbel = jax.random.split(rng)
+                loss_ps, query = self.rec.training_loss(
+                    {"params": params}, batch, rng_loss,
+                    reduce=False, return_query=True,
+                )
+                logits = self.meta_module.apply(
+                    {"params": meta_params["mlp"]}, query
+                )
+                tau = jnp.clip(meta_params["tau"], min=self.tau_min)
+                weight = gumbel_softmax_weight(logits, tau, rng_gumbel)
+                if weight.ndim > loss_ps.ndim:
+                    weight = weight[..., 0]
+                mask = batch["item_id"] != 0
+                mask = mask & (batch["user_id"] != 0).reshape(
+                    (-1,) + (1,) * (mask.ndim - 1)
+                )
+                if mask.ndim > weight.ndim:
+                    weight = jnp.broadcast_to(weight[..., None], mask.shape)
+                w = jnp.where(mask, weight, jnp.nan)
+                return {
+                    "weight_mean": jnp.nanmean(w),
+                    "weight_std": jnp.nanstd(w),
+                    "weight_frac_high": jnp.nanmean((w > 0.9).astype(jnp.float32)
+                                                    + jnp.where(jnp.isnan(w), jnp.nan, 0.0)),
+                    "weight_frac_low": jnp.nanmean((w < 0.1).astype(jnp.float32)
+                                                   + jnp.where(jnp.isnan(w), jnp.nan, 0.0)),
+                    "tau": tau,
+                }
+
+            self._compiled["weight_stats"] = self._with_ep_plan(step)
+        return self._compiled["weight_stats"]
+
     # ------------------------------------------------------------ epoch loop
     def training_epoch(self, nepoch: int) -> float:
         assert self.state is not None
@@ -196,4 +255,13 @@ class MetaTrainer(Trainer):
                     self.state.params, self.meta_params, self.meta_opt_state,
                     val_b, train_b, r2,
                 )
+        if not warm:
+            probe = self._device_batch(meta_loader.sample_batch(), is_train=True)
+            self._rng, r3 = jax.random.split(self._rng)
+            stats = self.weight_stats_step(
+                self.state.params, self.meta_params, probe, r3
+            )
+            self.logged_metrics.update(
+                {k: float(v) for k, v in stats.items()}
+            )
         return float(total_loss) / max(n_steps, 1)

@@ -130,7 +130,7 @@ def measure_decode(decode_seqs):
     src_path = os.path.join(REF, "3.Hybrid_inference.py")
     with open(src_path) as f:
         source = f.read().replace("'cuda'", "'cpu'")
-    ns = {"__name__": "ref_hybrid_inference", "__file__": src_path}
+    ns = {"__name__": "ref_hybrid_inference", "__file__": src_path, "os": os}
     exec(compile(source, src_path, "exec"), ns)
 
     # module globals normally set in its __main__ block

@@ -1,0 +1,22 @@
+"""On-chip kernel regression suite (VERDICT r1 #5).
+
+Unlike ``tests/`` (which forces a virtual 8-device CPU mesh), this suite runs
+on the REAL TPU backend: interpret-mode Pallas passes do not imply the kernel
+lowers and runs on the chip (the axon backend has missing ops — complex fft,
+scalar-arg dispatch limits — that only surface on hardware). Run via
+
+    bash scripts/tpu_tests.sh          # or: python -m pytest tests_tpu -q
+
+The whole suite skips when no TPU-like backend is present, so accidentally
+running it in a CPU-only CI is a no-op, not a failure.
+"""
+
+import jax
+import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() in ("cpu",):
+        skip = pytest.mark.skip(reason="no TPU backend — on-chip suite only")
+        for item in items:
+            item.add_marker(skip)

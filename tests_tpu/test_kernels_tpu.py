@@ -1,0 +1,155 @@
+"""Kernel parity ON THE CHIP: Pallas flash attention fwd+bwd, the
+DFT-operator FilterLayer, fused masked top-k, and the KV-cached decoder —
+each checked against a host-numpy / pure-jnp oracle evaluated on CPU-side
+values. These are exactly the kernels whose interpret-mode passes hid real
+lowering failures in round 1 (see docs in tests_tpu/conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _np_attention(q, k, v, pad_mask, causal):
+    """Host-numpy oracle. q,k,v: [B,H,L,Dh]; pad_mask [B,L] True=pad."""
+    b, h, l, dh = q.shape
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
+    if causal:
+        tri = np.triu(np.ones((l, l), bool), 1)
+        scores = np.where(tri[None, None], -np.inf, scores)
+    scores = np.where(pad_mask[:, None, None, :], -np.inf, scores)
+    m = np.max(scores, -1, keepdims=True)
+    e = np.exp(scores - np.where(np.isfinite(m), m, 0.0))
+    e = np.where(np.isfinite(scores), e, 0.0)
+    p = e / np.maximum(e.sum(-1, keepdims=True), 1e-30)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _rand_qkv(rng, b=4, h=2, l=64, dh=32):
+    q, k, v = (rng.standard_normal((b, h, l, dh)).astype(np.float32) * 0.5
+               for _ in range(3))
+    pad = np.zeros((b, l), bool)
+    pad[0, 50:] = True
+    pad[2, 10:] = True
+    return q, k, v, pad
+
+
+def test_flash_attention_forward_on_chip():
+    from dr4sr_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v, pad = _rand_qkv(rng)
+    for causal in (True, False):
+        out = flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pad),
+            causal=causal,
+        )
+        ref = _np_attention(q, k, v, pad, causal)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_flash_attention_backward_on_chip():
+    """Gradients of the custom-VJP Pallas path vs gradients of the jnp
+    reference path, both evaluated on the chip."""
+    from dr4sr_tpu.ops.attention import mha_reference, multihead_attention
+
+    rng = np.random.default_rng(1)
+    q, k, v, pad = _rand_qkv(rng)
+    jq, jk, jv, jpad = map(jnp.asarray, (q, k, v, pad))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(multihead_attention(q, k, v, key_padding_mask=jpad,
+                                           causal=True, use_pallas=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, jpad, causal=True) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(jq, jk, jv)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(jq, jk, jv)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_filter_layer_dft_matches_host_fft():
+    """The all-real DFT-operator FilterLayer (the chip path — jnp.fft is
+    UNIMPLEMENTED on this backend) equals the fft formulation computed
+    host-side."""
+    from dr4sr_tpu.modules.layers import FilterLayer
+
+    rng = np.random.default_rng(2)
+    b, l, d = 4, 50, 64
+    x = rng.standard_normal((b, l, d)).astype(np.float32)
+    layer = FilterLayer(max_seq_len=l, embed_dim=d, dropout=0.0, use_fft=False)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = layer.apply(variables, jnp.asarray(x))
+
+    w = np.asarray(variables["params"]["complex_weight"])
+    filt = w[..., 0] + 1j * w[..., 1]  # [1, freq, D]
+    fx = np.fft.rfft(x, axis=1, norm="ortho")
+    y = np.fft.irfft(fx * filt[:, : fx.shape[1]], n=l, axis=1, norm="ortho")
+    # host LayerNorm residual
+    h = y + x
+    mu = h.mean(-1, keepdims=True)
+    var = h.var(-1, keepdims=True)
+    scale = np.asarray(variables["params"]["LayerNorm_0"]["scale"])
+    bias = np.asarray(variables["params"]["LayerNorm_0"]["bias"])
+    expect = (h - mu) / np.sqrt(var + 1e-12) * scale + bias
+    np.testing.assert_allclose(np.asarray(out), expect, atol=2e-4)
+
+
+def test_masked_topk_on_chip():
+    from dr4sr_tpu.ops.topk import masked_topk_scores
+
+    rng = np.random.default_rng(3)
+    b, n, d, k = 8, 500, 32, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    keep = rng.random(n) > 0.3
+    keep[0] = False
+    hist = rng.integers(0, n, (b, 5)).astype(np.int32)
+    scores, items = masked_topk_scores(
+        jnp.asarray(q), jnp.asarray(emb), k,
+        item_keep_mask=jnp.asarray(keep), user_hist=jnp.asarray(hist),
+    )
+    ref = q @ emb.T
+    ref[:, ~keep] = -np.inf
+    for i in range(b):
+        ref[i, hist[i]] = -np.inf
+    order = np.argsort(-ref, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.sort(np.asarray(items), 1),
+                                  np.sort(order, 1))
+
+
+def test_kv_cached_decode_on_chip():
+    """The KV-cached greedy decoder produces identical tokens to the
+    full-buffer recompute path on the real backend (fori_loop + dynamic
+    slices + cache updates all lower)."""
+    from dr4sr_tpu.regen.decode import (
+        greedy_decode_batch,
+        greedy_decode_batch_cached,
+    )
+    from dr4sr_tpu.regen.generator import Generator
+
+    num_items = 50
+    gen = Generator(num_items=num_items, k=2, dropout=0.0)
+    rng = jax.random.PRNGKey(7)
+    host = np.random.default_rng(4)
+    b, ls = 32, 14
+    src = np.zeros((b, ls), np.int32)
+    for i in range(b):
+        n = host.integers(2, 10)
+        items = host.choice(np.arange(1, num_items), size=n, replace=False)
+        src[i, : n + 2] = [num_items, *items, num_items + 1]
+    cond = host.integers(0, 2, size=b).astype(np.int32)
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        jnp.asarray(src), jnp.asarray(src[:, :-1]),
+        jnp.full((b,), 5), jnp.asarray(1.0),
+    )
+    r = jax.random.PRNGKey(9)
+    full = greedy_decode_batch(gen, variables, jnp.asarray(src),
+                               jnp.asarray(cond), r, max_len=12, gamma=0.5)
+    cached = greedy_decode_batch_cached(gen, variables, jnp.asarray(src),
+                                        jnp.asarray(cond), r, max_len=12,
+                                        gamma=0.5)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
