@@ -18,9 +18,21 @@ import time
 
 import numpy as np
 
-REFERENCE_SEQS_PER_SEC = 19412 / 13.4  # ≈1449, poster toys runtime
+REFERENCE_SEQS_PER_SEC = 19412 / 13.4  # ≈1449, poster toys runtime (GPU)
 
 TOYS_SEQ2PAT = "/root/reference/dataset/amazon-toys/toy/seq2pat_data.pth"
+
+
+def measured_reference():
+    """Measured numbers from actually running /root/reference on this host
+    (scripts/measure_reference_baseline.py -> BASELINE_MEASURED.json;
+    VERDICT r1 #6). Returns {} when the measurement hasn't been run."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
 
 
 def load_workload(max_seq_len: int = 50):
@@ -132,10 +144,60 @@ def bench_decode(n_items, sequences, batch_size=2048, max_len=25, n_batches=4):
     return len(subset) * n_batches / dt
 
 
+def bench_stress(batch_size=128, n_items=1_000_000, seq_len=512, embed_dim=256,
+                 n_steps=10):
+    """Scale demo (VERDICT r1 #9): shapes where the TPU-first design pays —
+    flash-attention blocking at L=512 and a 1M-item catalog (1GB table) —
+    train step + full-catalog masked top-k, single chip."""
+    import jax
+
+    from dr4sr_tpu.data.synthetic import synthetic_config
+    from dr4sr_tpu.models.base import RecModel
+    from dr4sr_tpu.models.registry import get_model_class
+
+    cfg = synthetic_config(max_seq_len=seq_len)
+    cfg["train"]["batch_size"] = batch_size
+    cfg["model"].update({"embed_dim": embed_dim, "hidden_size": 4 * embed_dim,
+                         "layer_num": 2, "head_num": 4})
+    cfg["data"]["max_seq_len"] = seq_len
+    rec = RecModel(cfg, get_model_class("SASRec").build(cfg, n_items),
+                   n_items, batch_size)
+
+    r = np.random.default_rng(0)
+    lens = r.integers(seq_len // 2, seq_len + 1, batch_size).astype(np.int32)
+    seq = np.zeros((batch_size, seq_len), np.int32)
+    tgt = np.zeros((batch_size, seq_len), np.int32)
+    for i in range(batch_size):
+        seq[i, : lens[i]] = r.integers(1, n_items, lens[i])
+        tgt[i, : lens[i]] = r.integers(1, n_items, lens[i])
+    from dr4sr_tpu.data.dataset import RowData
+
+    rows = RowData(np.arange(batch_size, dtype=np.int32), seq, tgt, lens,
+                   np.ones((batch_size, seq_len), np.float32),
+                   np.zeros(batch_size, np.int32))
+    sps, step_ms, state = bench_train(rec, rows, batch_size, n_steps=n_steps)
+
+    # full-catalog eval at 1M items
+    eval_rows = RowData(rows.user_id, seq, tgt[:, 0], lens,
+                        np.ones(batch_size, np.float32),
+                        rows.domain_id, user_hist=seq)
+    eval_sps = bench_eval(rec, state, eval_rows, n_items,
+                          batch_size=batch_size, k=100, n_steps=5)
+    return {
+        "stress_config": f"B{batch_size} L{seq_len} D{embed_dim} N{n_items}",
+        "stress_train_seqs_per_sec": round(sps, 1),
+        "stress_step_ms": round(step_ms, 1),
+        "stress_tokens_per_sec": round(sps * seq_len, 0),
+        "stress_eval_seqs_per_sec": round(eval_sps, 1),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="training throughput only")
+    parser.add_argument("--stress", action="store_true",
+                        help="also run the L=512/D=256/1M-item scale demo")
     args = parser.parse_args()
 
     import jax
@@ -178,17 +240,37 @@ def main():
         try:
             decode_sps = bench_decode(n_items, seqs)
             extras["regen_decode_seqs_per_sec"] = round(decode_sps, 1)
-            # reference decodes one sequence per ~25-step Python loop; its
-            # own stage-3 runtime is hours for 19k×5 — use 30 seqs/s as a
-            # generous single-GPU estimate
-            extras["regen_vs_reference_est"] = round(decode_sps / 30.0, 1)
+            ref = measured_reference()
+            if ref.get("decode_seqs_per_sec"):
+                # measured: the reference's own batch=1 translate loop run
+                # on this host (scripts/measure_reference_baseline.py)
+                extras["regen_vs_reference_measured"] = round(
+                    decode_sps / ref["decode_seqs_per_sec"], 1
+                )
+            else:
+                extras["regen_vs_reference_est"] = round(decode_sps / 30.0, 1)
         except Exception as e:
             extras["decode_error"] = str(e)[:120]
+    if args.stress:
+        try:
+            extras.update(bench_stress())
+        except Exception as e:
+            extras["stress_error"] = str(e)[:160]
 
+    ref = measured_reference()
+    if ref.get("train_seqs_per_sec"):
+        extras["reference_cpu_measured_seqs_per_sec"] = round(
+            ref["train_seqs_per_sec"], 1
+        )
+        extras["vs_reference_cpu_measured"] = round(
+            train_sps / ref["train_seqs_per_sec"], 1
+        )
     out = {
         "metric": f"train_seqs_per_sec_sasrec_{name}",
         "value": round(train_sps, 1),
         "unit": "seqs/s",
+        # vs the reference's published GPU epoch time (poster); the measured
+        # CPU ratio is in extras
         "vs_baseline": round(train_sps / REFERENCE_SEQS_PER_SEC, 3),
         "extras": extras,
     }
