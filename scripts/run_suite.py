@@ -6,6 +6,10 @@ poison the TPU client of the rest.
 
   python scripts/run_suite.py --out results.json \
       --jobs SASRec:amazon-toys:_regen GRU4Rec:amazon-toys: FMLP:amazon-toys:
+
+A 4th colon-field adds per-job config overrides (comma-separated
+section.key=value pairs), e.g.
+  MetaModel:amazon-toys:_regen:train.inner_loss_scale=mean,train.interval=10
 """
 
 import argparse
@@ -19,12 +23,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_job(model, dataset, train_file, epochs, timeout):
+def run_job(model, dataset, train_file, epochs, timeout, overrides=""):
     cmd = [
         sys.executable, os.path.join(REPO, "run.py"),
         "-m", model, "-d", dataset,
         "--train-file", train_file, "--epochs", str(epochs),
     ]
+    for ov in filter(None, overrides.split(",")):
+        cmd += ["--set", ov]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO
     )
@@ -57,15 +63,20 @@ def main():
             results = json.load(f)
 
     for job in args.jobs:
-        model, dataset, train_file = job.split(":")
+        parts = job.split(":", 3)
+        model, dataset, train_file = parts[0], parts[1], parts[2]
+        overrides = parts[3] if len(parts) > 3 else ""
         key = f"{model}/{dataset}{train_file or '_base'}"
+        if overrides:
+            key += "[" + overrides + "]"
         if key in results and "metrics" in results[key] and not args.force:
             print(f"skip {key} (already done)")
             continue
         print(f"=== {key} ===", flush=True)
         t0 = time.time()
         try:
-            record, _ = run_job(model, dataset, train_file, args.epochs, args.timeout)
+            record, _ = run_job(model, dataset, train_file, args.epochs,
+                                args.timeout, overrides)
         except subprocess.TimeoutExpired:
             record = {"error": "timeout"}
         record["wall_s"] = round(time.time() - t0, 1)
@@ -73,6 +84,7 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps(record)[:300], flush=True)
+        time.sleep(20)  # axon quirk: back-to-back client starts can wedge
 
 
 if __name__ == "__main__":
