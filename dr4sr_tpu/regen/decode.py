@@ -213,13 +213,13 @@ def decode_dataset(
                 gamma=gamma,
             )
             buf = np.asarray(buf)[: batch_size - pad_rows if pad_rows else batch_size]
-            for row in buf:
-                toks = []
-                for t in row[1:]:  # skip SOS
-                    if t == eos or t == 0:
-                        break
-                    toks.append(int(t))
-                outputs.append(toks)
+            body = buf[:, 1:]  # skip SOS
+            stop = (body == eos) | (body == 0)
+            # first stop position per row (body length when no stop)
+            first = np.where(stop.any(1), stop.argmax(1), body.shape[1])
+            outputs.extend(
+                body[i, : first[i]].tolist() for i in range(len(body))
+            )
     return outputs
 
 

@@ -48,6 +48,8 @@ def stub_missing_modules():
     tm.functional = tmf
     sys.modules["torchmetrics"] = tm
     sys.modules["torchmetrics.functional"] = tmf
+    # faiss backs only the dead aux-model paths (never reached by SASRec fit)
+    sys.modules["faiss"] = types.ModuleType("faiss")
 
 
 def materialize_dataset(domain_dir_out, domain_dir_src):
@@ -55,6 +57,12 @@ def materialize_dataset(domain_dir_out, domain_dir_src):
     import torch
 
     os.makedirs(domain_dir_out, exist_ok=True)
+
+    def load(path):
+        # materialize every array up front: indexing a lazy NpzFile per row
+        # re-decompresses the whole member each access
+        with np.load(path) as z:
+            return {k: np.asarray(v) for k, v in z.items()}
 
     def rows_train(z):
         return [
@@ -72,12 +80,12 @@ def materialize_dataset(domain_dir_out, domain_dir_src):
             for i in range(len(z["user_id"]))
         ]
 
-    with np.load(os.path.join(domain_dir_src, "train.npz")) as z:
-        torch.save(rows_train(z), os.path.join(domain_dir_out, "train.pth"))
-        n_rows = len(z["user_id"])
+    z = load(os.path.join(domain_dir_src, "train.npz"))
+    torch.save(rows_train(z), os.path.join(domain_dir_out, "train.pth"))
+    n_rows = len(z["user_id"])
     for phase in ("val", "test"):
-        with np.load(os.path.join(domain_dir_src, phase + ".npz")) as z:
-            torch.save(rows_eval(z), os.path.join(domain_dir_out, phase + ".pth"))
+        z = load(os.path.join(domain_dir_src, phase + ".npz"))
+        torch.save(rows_eval(z), os.path.join(domain_dir_out, phase + ".pth"))
 
     with np.load(os.path.join(domain_dir_src, "meta.npz")) as z:
         num_users, num_items = int(z["num_users"]), int(z["num_items"])
@@ -94,6 +102,14 @@ def materialize_dataset(domain_dir_out, domain_dir_src):
 
 
 def measure_training(epochs):
+    import logging
+
+    # the reference's EarlyStopping derives its ckpt filename from the 'CDR'
+    # logger's FileHandler (utils/callbacks.py:81-84)
+    logger = logging.getLogger("CDR")
+    logger.setLevel(logging.INFO)
+    logger.addHandler(logging.FileHandler(os.path.join(WORK, "log", "refbench.log")))
+
     cfg = {"model": "SASRec", "dataset": "amazon-toys"}
     from utils.utils import load_config, seed_everything
 
@@ -144,6 +160,7 @@ def measure_decode(decode_seqs):
 
     gen = ns["Generator"]()
     gen.device = "cpu"
+    gen.set_condition(0)  # per-condition decode, as the __main__ loop does
     gen.eval()
 
     with np.load(os.path.join(REPO, "dataset", "amazon-toys", "toy", "train.npz")) as z:

@@ -16,4 +16,11 @@ J=(
   "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean,train.hpo_learning_rate=0.01"
 )
 python scripts/run_suite.py --out results_meta_sweep.json --timeout 2700 --jobs "${J[@]}"
+
+# aux-CL model zoo rows on real data (VERDICT r1 #7 done-criterion)
+python scripts/run_suite.py --out results_aux_zoo.json --timeout 2700 --jobs \
+  SGL:amazon-toys:_regen \
+  SimGCL:amazon-toys:_regen \
+  NCL:amazon-toys:_regen \
+  ICLRec:amazon-toys:_regen
 echo META_SWEEP_DONE
