@@ -42,3 +42,28 @@ def test_overrides():
         overrides={"train": {"epochs": 3}},
     )
     assert cfg["train"]["epochs"] == 3
+
+
+def test_random_sweep_draws(monkeypatch):
+    """tune(method='random') draws `samples` combos from the grid and selects
+    on the validation monitor (VERDICT r1 weak-#8: wandb random-search
+    parity)."""
+    from dr4sr_tpu import quickstart
+
+    seen = []
+
+    def fake_run(cfg, root=None):
+        seen.append((cfg["train"]["learning_rate"], cfg["model"]["embed_dim"]))
+        return {"val_best": cfg["model"]["embed_dim"] * 1.0}
+
+    monkeypatch.setattr(quickstart, "run", fake_run)
+    cfg = {"train": {"learning_rate": 0}, "model": {"embed_dim": 0}}
+    sweep = {"train.learning_rate": [1e-3, 1e-2],
+             "model.embed_dim": [16, 32, 64]}
+    best, results = quickstart.tune(cfg, sweep, method="random", samples=5,
+                                    seed=3)
+    assert len(results) == 5 and len(seen) == 5
+    for lr, d in seen:
+        assert lr in (1e-3, 1e-2) and d in (16, 32, 64)
+    assert best["metrics"]["val_best"] == max(r["metrics"]["val_best"]
+                                              for r in results)

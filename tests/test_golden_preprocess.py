@@ -94,3 +94,46 @@ def test_analyzer_plot(tmp_path):
 
         assert os.path.getsize(out) > 0
     assert "ndcg@20" in a.summary()
+
+
+def test_yelp_csv_and_json_modes(tmp_path):
+    """scripts/preprocess.py --yelp-csv / --yelp-json follow the yelp
+    notebook protocol (headered 3-col frame, same 5-core + split)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for u in range(1, 9):
+        for i in range(6):
+            rows.append((f"u{u}", f"b{(u + i) % 8}", f"2020-01-{i+1:02d}"))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "timestamp"])
+    csv = tmp_path / "yelp.csv"
+    df.to_csv(csv, index=False)
+    js = tmp_path / "review.json"
+    with open(js, "w") as f:
+        for u, b, d in rows:
+            f.write(json.dumps({"user_id": u, "business_id": b, "date": d,
+                                "stars": 5}) + "\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = []
+    for flag, src in (("--yelp-csv", csv), ("--yelp-json", js)):
+        out = tmp_path / flag.strip("-").replace("-", "_")
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "preprocess.py"),
+             flag, str(src), "--out", str(out)],
+            capture_output=True, text=True, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        assert (out / "train.npz").exists() and (out / "meta.npz").exists()
+        outs.append(out)
+    # identical protocol => identical splits from the two sources
+    a = np.load(outs[0] / "train.npz")
+    b = np.load(outs[1] / "train.npz")
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k])

@@ -130,3 +130,28 @@ def test_resume_from_snapshot(synthetic_root_module, synthetic_config_module, tm
                  workdir=str(tmp_path))
     t3.fit(resume=True)
     assert t3.logged_metrics["epoch"] == 2
+
+
+def test_strict_improvement_early_stopping(tmp_path):
+    """A plateaued monitor must NOT reset patience (reference semantics,
+    utils/callbacks.py:94-121; VERDICT r1 weak-#8)."""
+    from dr4sr_tpu.train.callbacks import EarlyStopping
+
+    cb = EarlyStopping("ndcg@20", "ds", "M", save_dir=None, patience=3)
+    params = {"w": np.zeros(1)}
+    assert not cb(params, {}, 0, {"ndcg@20": 0.5})  # improvement
+    stops = [cb(params, {}, i, {"ndcg@20": 0.5}) for i in range(1, 4)]
+    assert stops == [False, False, True]  # ties never reset the counter
+    assert cb.best_epoch == 0
+
+
+def test_analyzer_figures_rendered_during_fit(trained):
+    """fit() renders the bucketed-metric figure every 10 epochs (epoch 0
+    included), like the reference's wandb image push."""
+    import os
+
+    base = trained.workdir or trained.config["eval"].get("save_path", "saved")
+    fig = os.path.join(base, trained.model_name,
+                       trained.config["data"]["dataset"],
+                       "figures", "epoch_0.png")
+    assert os.path.exists(fig)
