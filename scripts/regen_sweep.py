@@ -40,7 +40,7 @@ def run_tpu(logfile, grace, total, cmd):
     if os.path.exists(logfile):
         with open(logfile) as f:
             out = f.read()
-    time.sleep(25)  # axon quirk: a client starting <~1-2min after another exits wedges
+    time.sleep(75)  # axon quirk: a client starting <~1-2min after another exits wedges
     return rc, out
 
 
@@ -130,7 +130,7 @@ def main():
         # ---- stage 1 (cached by mining params) -------------------------------
         if not os.path.exists(os.path.join(abs_root, pat_file + ".npz")):
             rc, out = run_tpu(
-                os.path.join(logdir, f"s1_{tag1}.log"), 900, 1200,
+                os.path.join(logdir, f"s1_{tag1}.log"), 600, 1200,
                 [py, "scripts/build_pretraining_dataset.py",
                  "--root_path", root_path, "--alpha", str(alpha),
                  "--beta", str(beta), "--n_jobs", str(args.n_jobs),
@@ -158,7 +158,7 @@ def main():
                 if args.embedding:
                     cmd += ["--embedding", args.embedding]
                 rc, out = run_tpu(os.path.join(logdir, f"s2_{tag2}.log"),
-                                  900, 3600, cmd)
+                                  600, 3600, cmd)
                 if rc != 0:
                     results[name] = {"error": f"stage2 rc={rc}", "tail": out[-2000:]}
                     save()
@@ -176,7 +176,7 @@ def main():
                    "--regen_cache", os.path.join(abs_root, f"regen_{tag3}.pkl")]
             if t["variant"] == "regen":
                 cmd.append("--no_patterns")
-            rc, out = run_tpu(os.path.join(logdir, f"s3_{name}.log"), 900, 2400, cmd)
+            rc, out = run_tpu(os.path.join(logdir, f"s3_{name}.log"), 600, 2400, cmd)
             if rc != 0:
                 results[name] = {"error": f"stage3 rc={rc}", "tail": out[-2000:]}
                 save()
@@ -188,7 +188,7 @@ def main():
                "--train-file", f"_sw_{name}",
                "--set", f"train.early_stop_patience={args.patience}",
                "--set", f"train.seed={seed}"]
-        rc, out = run_tpu(os.path.join(logdir, f"train_{name}.log"), 900, 3600, cmd)
+        rc, out = run_tpu(os.path.join(logdir, f"train_{name}.log"), 600, 3600, cmd)
         metrics = parse_final_dict(out)
         if metrics is None:
             results[name] = {"error": f"train rc={rc}", "tail": out[-2000:]}
