@@ -74,3 +74,68 @@ def test_pre_pad_batch():
     assert list(out["item_id"][0]) == [0, 0, 2, 3, 9]
     assert list(out["in_item_id"][1]) == [0, 0, 0, 0, 4]
     assert list(out["label"][1]) == [0, 0, 0, 0, 1]
+
+
+def test_rows_from_lists_vectorized_parity():
+    """Flat-scatter packing must match the naive per-row loop (train + eval)."""
+    import random
+
+    from dr4sr_tpu.data.dataset import rows_from_lists
+
+    rng = random.Random(0)
+    L = 7
+
+    def naive(rows, is_train):
+        import numpy as np
+
+        n = len(rows)
+        def fit(seq):
+            seq = list(seq)[:L]
+            return seq + [0] * (L - len(seq))
+        out = {
+            "user_id": np.array([r[0] for r in rows], np.int32),
+            "in_item": np.array([fit(r[1]) for r in rows], np.int32),
+            "seqlen": np.array([min(int(r[3]), L) for r in rows], np.int32),
+            "domain": np.array(
+                [r[5][0] if isinstance(r[5], list) else int(r[5]) for r in rows],
+                np.int32,
+            ),
+        }
+        if is_train:
+            out["item"] = np.array([fit(r[2]) for r in rows], np.int32)
+            out["label"] = np.array([fit(r[4]) for r in rows], np.float32)
+        else:
+            out["item"] = np.array([int(r[2]) for r in rows], np.int32)
+            out["label"] = np.array([float(r[4]) for r in rows], np.float32)
+        return out
+
+    train_rows = []
+    for _ in range(50):
+        ln = rng.randint(1, 12)  # some rows exceed L -> truncation path
+        seq = [rng.randint(1, 99) for _ in range(ln)]
+        train_rows.append(
+            [rng.randint(1, 5), seq, [s + 1 for s in seq], ln,
+             [1.0] * ln, [0] * ln]
+        )
+    got = rows_from_lists(train_rows, True, L)
+    want = naive(train_rows, True)
+    np.testing.assert_array_equal(got.user_id, want["user_id"])
+    np.testing.assert_array_equal(got.in_item_id, want["in_item"])
+    np.testing.assert_array_equal(got.item_id, want["item"])
+    np.testing.assert_array_equal(got.seqlen, want["seqlen"])
+    np.testing.assert_array_equal(got.label, want["label"])
+    np.testing.assert_array_equal(got.domain_id, want["domain"])
+
+    eval_rows = []
+    for _ in range(30):
+        ln = rng.randint(1, 12)
+        seq = [rng.randint(1, 99) for _ in range(ln)]
+        eval_rows.append([rng.randint(1, 5), seq, rng.randint(1, 99), ln,
+                          1.0, [2] * ln])
+    got = rows_from_lists(eval_rows, False, L)
+    want = naive(eval_rows, False)
+    np.testing.assert_array_equal(got.in_item_id, want["in_item"])
+    np.testing.assert_array_equal(got.item_id, want["item"])
+    np.testing.assert_array_equal(got.label, want["label"])
+    np.testing.assert_array_equal(got.user_hist, want["in_item"])
+    np.testing.assert_array_equal(got.domain_id, want["domain"])
