@@ -1,0 +1,91 @@
+"""Round-2 confirmation suite: seed-paired base-vs-regen runs for all four
+datasets under ONE protocol (current code: strict-improvement early stop,
+patience 20 = reference semantics).
+
+Reads the phase-1 sweep results, picks the best trial per dataset on
+``val_best``, copies its regenerated train file out of the sweep snapshot,
+then runs base and regen arms at matched seeds via run_suite (subprocess
+isolation per job).
+
+  python scripts/confirm_r2.py [--snapshot /tmp/sweep_r2_snapshot]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def best_trial(path):
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        res = json.load(f)
+    done = {k: v for k, v in res.items() if "metrics" in v}
+    if not done:
+        return None
+    name = max(done, key=lambda k: done[k]["metrics"].get("val_best", -1))
+    return name, done[name]
+
+
+def domain_of(dataset):
+    with open(os.path.join(REPO, "configs", f"{dataset}.yaml")) as f:
+        return yaml.safe_load(f)["domain_name_list"][0]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--snapshot", default="/tmp/sweep_r2_snapshot")
+    p.add_argument("--out", default="results_confirm_r2.json")
+    p.add_argument("--timeout", type=int, default=2700)
+    args = p.parse_args()
+
+    jobs = []
+
+    # toys + yelp: round-1 winners re-measured under the new protocol
+    # (regen file = default-pipeline train_regen.npz, ew already per-dataset).
+    for ds, seeds in (("amazon-toys", (2023, 7, 17)), ("yelp", (2023, 7))):
+        for s in seeds:
+            jobs.append(f"SASRec:{ds}::train.seed={s}")
+            jobs.append(f"SASRec:{ds}:_regen:train.seed={s}")
+
+    # beauty + sport: phase-1 sweep winner
+    for ds, resfile, seeds in (
+        ("amazon-beauty", "results_sweep_beauty.json", (2023, 7, 17)),
+        ("amazon-sport", "results_sweep_sport.json", (2023, 7)),
+    ):
+        best = best_trial(os.path.join(REPO, resfile))
+        if best is None:
+            print(f"!! no sweep results for {ds}, skipping", flush=True)
+            continue
+        name, rec = best
+        print(f"{ds} winner: {name} -> {rec['metrics'].get('val_best')}", flush=True)
+        dom = domain_of(ds)
+        src = os.path.join(args.snapshot, "dataset", ds, dom,
+                           f"train_sw_{name}.npz")
+        dst = os.path.join(REPO, "dataset", ds, dom, f"train_sw_{name}.npz")
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+        if not os.path.exists(dst):
+            print(f"!! winning train file missing for {ds}: {src}", flush=True)
+            continue
+        for s in seeds:
+            jobs.append(f"SASRec:{ds}::train.seed={s}")
+            jobs.append(f"SASRec:{ds}:_sw_{name}:train.seed={s}")
+
+    print(f"{len(jobs)} confirmation jobs", flush=True)
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "scripts", "run_suite.py"),
+         "--out", args.out, "--timeout", str(args.timeout),
+         "--jobs"] + jobs, cwd=REPO)
+    print(f"CONFIRM_DONE rc={rc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

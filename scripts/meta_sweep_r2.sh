@@ -15,10 +15,10 @@ J=(
   "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean,model.tau_min=0.5"
   "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean,train.hpo_learning_rate=0.01"
 )
-python scripts/run_suite.py --out results_meta_sweep.json --timeout 2700 --jobs "${J[@]}"
+python scripts/run_suite.py --out results_meta_sweep.json --timeout 1800 --jobs "${J[@]}"
 
 # aux-CL model zoo rows on real data (VERDICT r1 #7 done-criterion)
-python scripts/run_suite.py --out results_aux_zoo.json --timeout 2700 --jobs \
+python scripts/run_suite.py --out results_aux_zoo.json --timeout 1800 --jobs \
   SGL:amazon-toys:_regen \
   SimGCL:amazon-toys:_regen \
   NCL:amazon-toys:_regen \

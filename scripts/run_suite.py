@@ -84,7 +84,7 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps(record)[:300], flush=True)
-        time.sleep(20)  # axon quirk: back-to-back client starts can wedge
+        time.sleep(75)  # axon quirk: a client starting <~1-2min after another exits wedges
 
 
 if __name__ == "__main__":
