@@ -44,6 +44,11 @@ def main():
     parser.add_argument("--regen_cache", type=str, default=None,
                         help="pickle path caching the decoded sequences; decode "
                              "is skipped when it already exists")
+    parser.add_argument("--original_repeat", type=int, default=1,
+                        help="include the original train rows this many times "
+                             "in the assembled file (counteracts dilution when "
+                             "pattern+regen rows outnumber originals, e.g. "
+                             "amazon-beauty's 2:1 pattern:original ratio)")
     args = parser.parse_args()
 
     from scripts.pretrain_regenerator import domain_num_items
@@ -90,6 +95,10 @@ def main():
         combined = RowData.concat([base, extra])
     else:
         combined = assemble_train_regen(train, [], regen_rows, args.max_seq_len)
+    if args.original_repeat > 1:
+        combined = RowData.concat(
+            [combined] + [train] * (args.original_repeat - 1)
+        )
     combined.save_npz(os.path.join(args.root_path, args.out_name + ".npz"))
     print(f"wrote {args.out_name}.npz with {len(combined)} rows; stats={stats}")
 

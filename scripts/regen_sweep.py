@@ -75,6 +75,7 @@ def trial_name(t):
     return (f"ew{fmt(t['ew'])}_g{fmt(t['gamma'])}_{t['variant']}"
             f"_a{t.get('alpha',5)}b{t.get('beta',2)}K{t.get('K',5)}"
             + (f"_L{t['max_len']}" if t.get("max_len", 25) != 25 else "")
+            + (f"_or{t['orep']}" if t.get("orep", 1) != 1 else "")
             + (f"_s{t['seed']}" if t.get("seed", 2023) != 2023 else ""))
 
 
@@ -176,6 +177,8 @@ def main():
                    "--regen_cache", os.path.join(abs_root, f"regen_{tag3}.pkl")]
             if t["variant"] == "regen":
                 cmd.append("--no_patterns")
+            if t.get("orep", 1) != 1:
+                cmd += ["--original_repeat", str(t["orep"])]
             rc, out = run_tpu(os.path.join(logdir, f"s3_{name}.log"), 600, 2400, cmd)
             if rc != 0:
                 results[name] = {"error": f"stage3 rc={rc}", "tail": out[-2000:]}
