@@ -46,20 +46,13 @@ def main():
     p.add_argument("--timeout", type=int, default=2700)
     args = p.parse_args()
 
-    jobs = []
-
-    # toys + yelp: round-1 winners re-measured under the new protocol
-    # (regen file = default-pipeline train_regen.npz, ew already per-dataset).
-    for ds, seeds in (("amazon-toys", (2023, 7, 17)), ("yelp", (2023, 7))):
-        for s in seeds:
-            jobs.append(f"SASRec:{ds}::train.seed={s}")
-            jobs.append(f"SASRec:{ds}:_regen:train.seed={s}")
-
-    # beauty + sport: phase-1 sweep winner
-    for ds, resfile, seeds in (
-        ("amazon-beauty", "results_sweep_beauty.json", (2023, 7, 17)),
-        ("amazon-sport", "results_sweep_sport.json", (2023, 7)),
-    ):
+    # (dataset, regen-train-file suffix) arms. beauty/sport use their sweep
+    # winner on val_best; toys/yelp the default-pipeline train_regen.npz
+    # (ew already per-dataset, round-1 winners re-measured under the new
+    # strict-improvement protocol).
+    arms = []
+    for ds, resfile in (("amazon-beauty", "results_sweep_beauty.json"),
+                        ("amazon-sport", "results_sweep_sport.json")):
         best = best_trial(os.path.join(REPO, resfile))
         if best is None:
             print(f"!! no sweep results for {ds}, skipping", flush=True)
@@ -75,9 +68,16 @@ def main():
         if not os.path.exists(dst):
             print(f"!! winning train file missing for {ds}: {src}", flush=True)
             continue
-        for s in seeds:
+        arms.append((ds, f"_sw_{name}"))
+    arms += [("amazon-toys", "_regen"), ("yelp", "_regen")]
+
+    # seed-major, base/regen adjacent: partial completion (if the round's
+    # wall clock ends mid-suite) still leaves complete seed-paired arms.
+    jobs = []
+    for s in (2023, 7):
+        for ds, regen_file in arms:
             jobs.append(f"SASRec:{ds}::train.seed={s}")
-            jobs.append(f"SASRec:{ds}:_sw_{name}:train.seed={s}")
+            jobs.append(f"SASRec:{ds}:{regen_file}:train.seed={s}")
 
     print(f"{len(jobs)} confirmation jobs", flush=True)
     rc = subprocess.call(
