@@ -61,8 +61,10 @@ def tune(
     the wandb sweep of ``tune.py``, which supports grid/random/bayes via
     ``transform_config_into_sweep_config``). ``method='grid'`` enumerates the
     product; ``method='random'`` draws ``samples`` combos uniformly (with
-    replacement, like wandb random search). Selection uses the best
-    VALIDATION monitor value (never test metrics)."""
+    replacement, like wandb random search); ``method='bayes'`` runs a
+    dependency-free TPE-style sequential search over the discrete candidate
+    lists (good/bad density ratio with Laplace smoothing). Selection uses the
+    best VALIDATION monitor value (never test metrics)."""
     import copy
     import itertools
     import random as _random
@@ -73,12 +75,18 @@ def tune(
         n = samples or 10
         combos = [tuple(rng.choice(sweep[k]) for k in keys) for _ in range(n)]
     elif method == "grid":
-        combos = itertools.product(*(sweep[k] for k in keys))
+        combos = list(itertools.product(*(sweep[k] for k in keys)))
+    elif method == "bayes":
+        combos = None  # proposed sequentially below
     else:
         raise ValueError(f"unknown sweep method {method!r}")
+
     best = None
     results = []
-    for combo in combos:
+    observed = []  # (combo, score) for bayes proposals
+
+    def evaluate(combo):
+        nonlocal best
         cfg = copy.deepcopy(config)
         for k, v in zip(keys, combo):
             section, _, key = k.partition(".")
@@ -86,6 +94,47 @@ def tune(
         out = run(cfg, root=root)
         score = out["val_best"]
         results.append({"params": dict(zip(keys, combo)), "metrics": out})
+        observed.append((combo, score))
         if best is None or score > best[0]:
             best = (score, results[-1])
+
+    if method == "bayes":
+        rng = _random.Random(seed)
+        n = samples or 10
+        n_init = max(2, min(n // 3, 5))
+        for _ in range(min(n_init, n)):
+            evaluate(tuple(rng.choice(sweep[k]) for k in keys))
+        while len(observed) < n:
+            evaluate(_tpe_propose(keys, sweep, observed, rng))
+    else:
+        for combo in combos:
+            evaluate(combo)
     return best[1], results
+
+
+def _tpe_propose(keys, sweep, observed, rng, n_candidates=256, gamma=0.25):
+    """Propose the next combo: split observations into good (top ``gamma``
+    fraction by score) and bad, then pick the candidate maximizing the
+    per-dimension likelihood ratio P(value | good) / P(value | bad) with
+    add-one smoothing — the discrete-space TPE acquisition. Already-evaluated
+    combos are excluded while unseen ones remain."""
+    ranked = sorted(observed, key=lambda t: -t[1])
+    n_good = max(1, int(len(ranked) * gamma))
+    good = [c for c, _ in ranked[:n_good]]
+    bad = [c for c, _ in ranked[n_good:]] or good
+    seen = {c for c, _ in observed}
+
+    def ratio(combo):
+        r = 1.0
+        for i, k in enumerate(keys):
+            vals = sweep[k]
+            pg = (sum(g[i] == combo[i] for g in good) + 1) / (len(good) + len(vals))
+            pb = (sum(b[i] == combo[i] for b in bad) + 1) / (len(bad) + len(vals))
+            r *= pg / pb
+        return r
+
+    cands = {tuple(rng.choice(sweep[k]) for k in keys)
+             for _ in range(n_candidates)}
+    unseen = [c for c in cands if c not in seen]
+    pool = unseen or list(cands)
+    return max(pool, key=ratio)

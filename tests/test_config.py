@@ -67,3 +67,32 @@ def test_random_sweep_draws(monkeypatch):
         assert lr in (1e-3, 1e-2) and d in (16, 32, 64)
     assert best["metrics"]["val_best"] == max(r["metrics"]["val_best"]
                                               for r in results)
+
+
+def test_bayes_sweep_converges_to_good_region(monkeypatch):
+    """tune(method='bayes') — the TPE-style discrete search spends its
+    post-warmup budget mostly in the high-scoring region and never repeats a
+    combo while unseen ones remain (reference tune.py's wandb `bayes` mode)."""
+    from dr4sr_tpu import quickstart
+
+    seen = []
+
+    def fake_run(cfg, root=None):
+        lr, d = cfg["train"]["learning_rate"], cfg["model"]["embed_dim"]
+        seen.append((lr, d))
+        # embed_dim=64 is the sharply-better region
+        return {"val_best": (1.0 if d == 64 else 0.1) + lr}
+
+    monkeypatch.setattr(quickstart, "run", fake_run)
+    cfg = {"train": {"learning_rate": 0}, "model": {"embed_dim": 0}}
+    sweep = {"train.learning_rate": [1e-4, 1e-3, 1e-2],
+             "model.embed_dim": [16, 32, 48, 64, 96, 128]}
+    best, results = quickstart.tune(cfg, sweep, method="bayes", samples=9,
+                                    seed=0)
+    assert len(results) == 9
+    assert len(set(seen)) == len(seen)  # no repeats while unseen combos exist
+    assert best["params"]["model.embed_dim"] == 64
+    # post-warmup proposals visit the sharply-better d=64 column far more
+    # often than uniform sampling would (3/18 of the space)
+    post = [d for _, d in seen[3:]]
+    assert sum(d == 64 for d in post) >= 2

@@ -21,10 +21,10 @@ def main():
     parser.add_argument("--sweep", type=str, default=None,
                         help="sweep yaml path (default sweep/<model>.yaml)")
     parser.add_argument("--method", type=str, default=None,
-                        choices=["grid", "random"],
+                        choices=["grid", "random", "bayes"],
                         help="override the sweep file's `method` (default grid)")
     parser.add_argument("--samples", type=int, default=None,
-                        help="number of draws for random search")
+                        help="number of draws for random/bayes search")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
