@@ -9,8 +9,9 @@
 cd /root/repo || exit 1
 T='[
  {"variant":"patterns","beta":3},
+ {"ew":-1.0,"gamma":0.0,"variant":"both","minlen":3},
  {"ew":-1.0,"gamma":0.0,"variant":"both","orep":2},
- {"ew":-1.0,"gamma":0.0,"variant":"both","orep":3},
+ {"ew":-1.0,"gamma":0.0,"variant":"both","minlen":3,"orep":2},
  {"ew":1.0,"gamma":0.3,"variant":"both","orep":2},
  {"ew":-1.0,"gamma":0.0,"variant":"both","beta":3},
  {"ew":-1.0,"gamma":0.0,"variant":"both","beta":3,"orep":2}

@@ -49,6 +49,12 @@ def main():
                              "in the assembled file (counteracts dilution when "
                              "pattern+regen rows outnumber originals, e.g. "
                              "amazon-beauty's 2:1 pattern:original ratio)")
+    parser.add_argument("--min_regen_len", type=int, default=2,
+                        help="drop regenerated sequences shorter than this "
+                             "many items before assembly (beauty phase-1: 97%% "
+                             "of its regen rows are trivial 2-item sequences "
+                             "and regen-bearing mixtures underperform; "
+                             "pattern rows are unaffected)")
     args = parser.parse_args()
 
     from scripts.pretrain_regenerator import domain_num_items
@@ -83,6 +89,13 @@ def main():
         if args.regen_cache:
             with open(args.regen_cache, "wb") as f:
                 pickle.dump(regen_rows, f)
+
+    if args.min_regen_len > 2:
+        # rows are reference-style [user_id, seq, target, seqlen, label,
+        # domain]; total items = history seqlen + 1 target
+        kept = [r for r in regen_rows if int(r[3]) + 1 >= args.min_regen_len]
+        stats["regen_len_filtered"] = len(regen_rows) - len(kept)
+        regen_rows = kept
 
     # patterns rows (stage 1 output) are folded in if present
     pat_path = os.path.join(args.root_path, args.patterns_name)

@@ -76,6 +76,7 @@ def trial_name(t):
             f"_a{t.get('alpha',5)}b{t.get('beta',2)}K{t.get('K',5)}"
             + (f"_L{t['max_len']}" if t.get("max_len", 25) != 25 else "")
             + (f"_or{t['orep']}" if t.get("orep", 1) != 1 else "")
+            + (f"_ml{t['minlen']}" if t.get("minlen", 2) != 2 else "")
             + (f"_s{t['seed']}" if t.get("seed", 2023) != 2023 else ""))
 
 
@@ -179,6 +180,8 @@ def main():
                 cmd.append("--no_patterns")
             if t.get("orep", 1) != 1:
                 cmd += ["--original_repeat", str(t["orep"])]
+            if t.get("minlen", 2) != 2:
+                cmd += ["--min_regen_len", str(t["minlen"])]
             rc, out = run_tpu(os.path.join(logdir, f"s3_{name}.log"), 600, 2400, cmd)
             if rc != 0:
                 results[name] = {"error": f"stage3 rc={rc}", "tail": out[-2000:]}
