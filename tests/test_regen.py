@@ -175,3 +175,62 @@ def test_load_embedding_from_msgpack(tmp_path, tiny_world):
     emb = load_torch_embedding(path)
     assert emb.shape == (10, 4)
     np.testing.assert_allclose(emb, 2.5)
+
+
+def test_stage3_cli_minlen_and_original_repeat(tmp_path):
+    """Drive scripts/hybrid_inference.py through its CLI on a cached decode:
+    --min_regen_len drops trivial regen rows (patterns untouched) and
+    --original_repeat appends extra copies of the original train rows
+    (beauty phase-2 rebalancing knobs)."""
+    import pickle
+    import runpy
+    import sys
+
+    from dr4sr_tpu.data.dataset import RowData, load_rows
+    from dr4sr_tpu.data.synthetic import write_synthetic_dataset
+
+    root = tmp_path / "synthetic" / "syn"
+    write_synthetic_dataset(str(tmp_path), num_users=40, num_items=30, seed=1)
+    train = load_rows(str(root / "train"), True, 50)
+
+    # regenerator ckpt: init a tiny Generator and serialize it
+    from flax import serialization
+
+    gen = Generator(num_items=30, k=2)
+    rng = jax.random.PRNGKey(0)
+    src0 = jnp.zeros((1, 4), jnp.int32)
+    variables = gen.init(
+        {"params": rng, "dropout": rng, "gumbel": rng},
+        src0, src0[:, :-1], jnp.ones(1, jnp.int32), jnp.asarray(1.0),
+    )
+    (root / "regenerator.msgpack").write_bytes(
+        serialization.to_bytes(jax.device_get(variables))
+    )
+
+    mk = lambda uid, items: [uid, items[:-1], items[1:], len(items) - 1,
+                             items[1:], [0] * (len(items) - 1)]
+    cache = [mk(i, [3, 4]) for i in range(5)] + [mk(9 + i, [5, 6, 7, 8])
+                                                 for i in range(3)]
+    cache_path = tmp_path / "cache.pkl"
+    with open(cache_path, "wb") as f:
+        pickle.dump(cache, f)
+
+    def run_cli(extra):
+        argv = ["hybrid_inference.py", "--root_path", str(root),
+                "--ckpt_name", "regenerator.msgpack", "--K", "2",
+                "--regen_cache", str(cache_path), "--no_patterns",
+                "--out_name", "_t_out"] + extra
+        old = sys.argv
+        sys.argv = argv
+        try:
+            runpy.run_path("scripts/hybrid_inference.py", run_name="__main__")
+        finally:
+            sys.argv = old
+        return load_rows(str(root / "_t_out"), True, 50)
+
+    base = run_cli([])
+    assert len(base) == len(train) + 8
+    filtered = run_cli(["--min_regen_len", "3"])
+    assert len(filtered) == len(train) + 3  # 5 trivial 2-item rows dropped
+    repeated = run_cli(["--min_regen_len", "3", "--original_repeat", "2"])
+    assert len(repeated) == 2 * len(train) + 3
