@@ -39,6 +39,7 @@ class SASRecEncoder(nn.Module):
     training_pooling: str = "origin"
     eval_pooling: str = "last"
     extra_embedding_rows: int = 0  # CL4SRec adds a mask token row
+    remat: bool = False
 
     def setup(self):
         self.item_embedding = nn.Embed(
@@ -57,6 +58,7 @@ class SASRecEncoder(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             layer_norm_eps=self.layer_norm_eps,
+            remat=self.remat,
         )
         self.input_dropout = nn.Dropout(self.dropout)
 
@@ -109,5 +111,6 @@ class SASRec:
             dropout=float(m["dropout_rate"]),
             activation=m.get("activation", "gelu"),
             layer_norm_eps=float(m.get("layer_norm_eps", 1e-12)),
+            remat=bool(m.get("remat", False)),
             **kwargs,
         )

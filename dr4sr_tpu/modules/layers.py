@@ -132,12 +132,22 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.0
     activation: str = "gelu"
     layer_norm_eps: float = 1e-12
+    # rematerialize each block on the backward pass (activations are
+    # recomputed instead of stored) — the standard HBM-for-FLOPs trade for
+    # long-sequence / large-batch configs; config key ``model.remat``
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, causal=True, deterministic=True,
                  use_pallas=None):
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # static_argnums count ``self`` as 0: causal/deterministic/
+            # use_pallas are python-level flags, not tracers
+            layer_cls = nn.remat(TransformerEncoderLayer,
+                                 static_argnums=(3, 4, 5))
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.ffn_dim,

@@ -140,3 +140,37 @@ def test_filter_layer_matmul_matches_fft(rng):
     gb = jax.grad(lambda p: jnp.sum(mm_layer.apply(p, x) ** 2))(params)
     for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-3)
+
+
+def test_encoder_remat_parity():
+    """model.remat recomputes block activations on the backward pass without
+    changing values: loss and grads match the non-remat encoder exactly."""
+    import numpy as np
+    from dr4sr_tpu.modules.layers import TransformerEncoder
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 12, 32)),
+                    jnp.float32)
+    pad = jnp.zeros((4, 12), bool).at[1, 8:].set(True)
+
+    def make(remat):
+        enc = TransformerEncoder(num_layers=2, embed_dim=32, num_heads=2,
+                                 ffn_dim=64, dropout=0.0, remat=remat)
+        variables = enc.init(jax.random.PRNGKey(0), x, pad)
+        return enc, variables
+
+    enc0, v0 = make(False)
+    enc1, v1 = make(True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v0, v1)
+
+    def loss(enc, v):
+        return lambda p: jnp.sum(enc.apply({"params": p}, x, pad) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss(enc0, v0))(v0["params"])
+    l1, g1 = jax.value_and_grad(loss(enc1, v1))(v1["params"])
+    assert float(l0) == float(l1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        g0, g1)
