@@ -56,6 +56,20 @@ def _last_target_items(batch) -> jax.Array:
     return jnp.take_along_axis(item_id, idx[:, None], axis=1)[:, 0]
 
 
+def _two_view_item_cl(variables, batch, model_cfg, num_items, make_views):
+    """Shared SGL/SimGCL objective: build two propagated views of the item
+    table, then cosine InfoNCE on the batch's supervised items with catalog
+    negatives. ``make_views(graph, table) -> (v1, v2)`` is the only part the
+    two models differ in."""
+    table = variables["params"]["item_embedding"]["embedding"][:num_items]
+    g = _batch_graph(batch, num_items)
+    v1, v2 = make_views(g, table)
+    items = _last_target_items(batch)
+    t = float(model_cfg.get("ssl_temperature", 0.2))
+    w = float(model_cfg.get("ssl_weight", 0.1))
+    return w * info_nce_all(v1[items], v2[items], v2[1:], t)
+
+
 @register_model("SGL")
 class SGL(SASRec):
     """SASRec + SGL item CL: two edge/node-dropout views of the transition
@@ -71,17 +85,15 @@ class SGL(SASRec):
 
     @staticmethod
     def aux_loss(module, variables, batch, rng, model_cfg, num_items):
-        table = variables["params"]["item_embedding"]["embedding"][:num_items]
-        g = _batch_graph(batch, num_items)
         r1, r2 = jax.random.split(rng)
         ratio = float(model_cfg.get("ssl_ratio", 0.1))
         layers = int(model_cfg.get("gnn_layer", 2))
-        v1 = propagate_mean(edge_dropout(r1, g, ratio), table, layers)
-        v2 = propagate_mean(edge_dropout(r2, g, ratio), table, layers)
-        items = _last_target_items(batch)
-        t = float(model_cfg.get("ssl_temperature", 0.2))
-        w = float(model_cfg.get("ssl_weight", 0.1))
-        return w * info_nce_all(v1[items], v2[items], v2[1:], t)
+
+        def views(g, table):
+            return (propagate_mean(edge_dropout(r1, g, ratio), table, layers),
+                    propagate_mean(edge_dropout(r2, g, ratio), table, layers))
+
+        return _two_view_item_cl(variables, batch, model_cfg, num_items, views)
 
 
 @register_model("SimGCL")
@@ -98,17 +110,15 @@ class SimGCL(SASRec):
 
     @staticmethod
     def aux_loss(module, variables, batch, rng, model_cfg, num_items):
-        table = variables["params"]["item_embedding"]["embedding"][:num_items]
-        g = _batch_graph(batch, num_items)
         r1, r2 = jax.random.split(rng)
         eps = float(model_cfg.get("noise_eps", 0.1))
         layers = int(model_cfg.get("gnn_layer", 2))
-        v1 = propagate_mean(g, table, layers, noise_rng=r1, noise_eps=eps)
-        v2 = propagate_mean(g, table, layers, noise_rng=r2, noise_eps=eps)
-        items = _last_target_items(batch)
-        t = float(model_cfg.get("ssl_temperature", 0.2))
-        w = float(model_cfg.get("ssl_weight", 0.1))
-        return w * info_nce_all(v1[items], v2[items], v2[1:], t)
+
+        def views(g, table):
+            return (propagate_mean(g, table, layers, noise_rng=r1, noise_eps=eps),
+                    propagate_mean(g, table, layers, noise_rng=r2, noise_eps=eps))
+
+        return _two_view_item_cl(variables, batch, model_cfg, num_items, views)
 
 
 @register_model("NCL")

@@ -86,7 +86,9 @@ def main():
     parser.add_argument("--root", default="dataset")
     parser.add_argument("--embedding", default=None)
     parser.add_argument("--out", required=True)
-    parser.add_argument("--phase", default="phase1")
+    parser.add_argument("--phase", default="phase1", choices=["phase1"],
+                        help="named preset; later phases are passed as "
+                             "explicit --trials_json lists")
     parser.add_argument("--trials_json", default=None,
                         help="explicit JSON list of trial dicts (overrides --phase)")
     parser.add_argument("--downstream_model", default="SASRec")

@@ -85,8 +85,10 @@ def _collective_bytes(hlo_text):
 
     total = 0
     per_op = {}
+    # compiled HLO lines read `%name = f32[512,64]{1,0} all-gather(...)`:
+    # result shape follows `=`, opcode follows the shape/layout
     for m in re.finditer(
-        r"(\w+)\[([\d,]*)\][^=]*= (all-gather|all-reduce|all-to-all|"
+        r"= (\w+)\[([\d,]*)\]\S* (all-gather|all-reduce|all-to-all|"
         r"collective-permute|reduce-scatter)\(", hlo_text
     ):
         dims = [int(d) for d in m.group(2).split(",") if d]

@@ -32,10 +32,13 @@ def main():
     sweep_path = args.sweep or os.path.join("sweep", args.model.lower() + ".yaml")
     with open(sweep_path) as f:
         sweep = yaml.safe_load(f)
-    # sweep files may carry wandb-style meta keys alongside the grid
-    method = args.method or sweep.pop("method", "grid")
-    samples = args.samples or sweep.pop("samples", None)
+    # sweep files may carry wandb-style meta keys alongside the grid; always
+    # strip them so CLI overrides can't leave them behind as fake dimensions
+    file_method = sweep.pop("method", "grid")
+    file_samples = sweep.pop("samples", None)
     sweep.pop("metric", None)
+    method = args.method or file_method
+    samples = args.samples or file_samples
 
     best, results = quickstart.tune(config, sweep, root=args.root,
                                     method=method, samples=samples,
