@@ -23,6 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def best_trial(path):
+    """Winner on validation. Trials re-run at extra seeds carry an ``_s<seed>``
+    suffix and share the seedless trial's train file; selection uses the MEAN
+    val_best across seeds (seed noise ~±0.0005 exceeds the gaps between top
+    candidates, so single-seed argmax is a coin flip)."""
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -30,8 +34,20 @@ def best_trial(path):
     done = {k: v for k, v in res.items() if "metrics" in v}
     if not done:
         return None
-    name = max(done, key=lambda k: done[k]["metrics"].get("val_best", -1))
-    return name, done[name]
+    import re as _re
+
+    groups = {}
+    for k, v in done.items():
+        base = _re.sub(r"_s\d+$", "", k)
+        groups.setdefault(base, []).append(v)
+    def mean_val(recs):
+        vals = [r["metrics"].get("val_best", -1) for r in recs]
+        return sum(vals) / len(vals)
+    name = max(groups, key=lambda k: mean_val(groups[k]))
+    rec = max(groups[name], key=lambda r: r["metrics"].get("val_best", -1))
+    print(f"  (selection: {len(groups[name])}-seed mean val "
+          f"{mean_val(groups[name]):.4f} for {name})", flush=True)
+    return name, rec
 
 
 def domain_of(dataset):

@@ -11,9 +11,7 @@ J=(
   "MetaModel:amazon-toys:_regen:$S"
   "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean"
   "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean,train.meta_optimizer=adam"
-  "MetaModel:amazon-toys:_regen:$S,train.interval=10,train.warmup_epoch=5"
   "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean,train.interval=10,train.warmup_epoch=5"
-  "MetaModel:amazon-toys:_regen:$S,train.inner_loss_scale=mean,train.hpo_learning_rate=0.01"
 )
 python scripts/run_suite.py --out results_meta_sweep.json --timeout 1800 --jobs "${J[@]}"
 echo META_SWEEP_DONE

@@ -71,7 +71,8 @@ def phase1_trials():
 
 def trial_name(t):
     if t["variant"] == "patterns":
-        return f"pat_a{t.get('alpha',5)}b{t.get('beta',2)}"
+        return (f"pat_a{t.get('alpha',5)}b{t.get('beta',2)}"
+                + (f"_s{t['seed']}" if t.get("seed", 2023) != 2023 else ""))
     return (f"ew{fmt(t['ew'])}_g{fmt(t['gamma'])}_{t['variant']}"
             f"_a{t.get('alpha',5)}b{t.get('beta',2)}K{t.get('K',5)}"
             + (f"_L{t['max_len']}" if t.get("max_len", 25) != 25 else "")
