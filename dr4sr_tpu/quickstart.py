@@ -102,8 +102,17 @@ def tune(
         rng = _random.Random(seed)
         n = samples or 10
         n_init = max(2, min(n // 3, 5))
-        for _ in range(min(n_init, n)):
-            evaluate(tuple(rng.choice(sweep[k]) for k in keys))
+        # warmup draws without replacement — a duplicate combo would burn a
+        # full training run re-measuring a point TPE already has
+        drawn = set()
+        attempts = 0
+        while len(drawn) < min(n_init, n) and attempts < 100 * n_init:
+            attempts += 1
+            combo = tuple(rng.choice(sweep[k]) for k in keys)
+            if combo in drawn:
+                continue
+            drawn.add(combo)
+            evaluate(combo)
         while len(observed) < n:
             evaluate(_tpe_propose(keys, sweep, observed, rng))
     else:

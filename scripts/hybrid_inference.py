@@ -74,9 +74,28 @@ def main():
     with open(os.path.join(args.root_path, args.ckpt_name), "rb") as f:
         variables = serialization.from_bytes(jax.device_get(variables), f.read())
 
+    import json
     import pickle
 
+    # decode-affecting parameters; a cache hit is only valid if they match
+    # (orep/minlen/patterns knobs are post-decode and don't belong here)
+    decode_params = {"ckpt_name": args.ckpt_name, "K": args.K,
+                     "max_len": args.max_len, "gamma": args.gamma,
+                     "seed": args.seed}
+    sidecar = (args.regen_cache + ".params.json") if args.regen_cache else None
+
     if args.regen_cache and os.path.exists(args.regen_cache):
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                cached_params = json.load(f)
+            if cached_params != decode_params:
+                raise SystemExit(
+                    f"--regen_cache {args.regen_cache} was decoded with "
+                    f"{cached_params}, current flags are {decode_params}; "
+                    "refusing to mix — delete the cache or change its path")
+        else:
+            print(f"warning: {args.regen_cache} has no params sidecar "
+                  "(pre-guard cache); trusting the filename", flush=True)
         with open(args.regen_cache, "rb") as f:
             regen_rows = pickle.load(f)
         stats = {"cached": True, "unique_regenerated": len(regen_rows)}
@@ -89,6 +108,8 @@ def main():
         if args.regen_cache:
             with open(args.regen_cache, "wb") as f:
                 pickle.dump(regen_rows, f)
+            with open(sidecar, "w") as f:
+                json.dump(decode_params, f)
 
     if args.min_regen_len > 2:
         # rows are reference-style [user_id, seq, target, seqlen, label,

@@ -48,11 +48,24 @@ def parse_final_dict(out):
     for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{") and line.endswith("}"):
-            try:
-                return ast.literal_eval(line)
-            except (ValueError, SyntaxError):
-                return None
+            return parse_metric_dict(line)
     return None
+
+
+def parse_metric_dict(line):
+    """Parse run.py's final python-dict repr. ``ast.literal_eval`` rejects
+    nan/inf, so a diverged-but-completed run must not be recorded as an error
+    (it would be re-run on every sweep resume)."""
+    try:
+        return ast.literal_eval(line)
+    except (ValueError, SyntaxError):
+        try:
+            return eval(  # noqa: S307 — no builtins, names limited to nan/inf
+                line, {"__builtins__": {}},
+                {"nan": float("nan"), "inf": float("inf")},
+            )
+        except Exception:
+            return None
 
 
 def fmt(x):
@@ -133,7 +146,11 @@ def main():
         pairs_file = f"pairs_{tag1}.pkl"
 
         # ---- stage 1 (cached by mining params) -------------------------------
-        if not os.path.exists(os.path.join(abs_root, pat_file + ".npz")):
+        # the CLI writes patterns npz BEFORE pairs pkl; require both so a
+        # timeout between the two writes doesn't poison the cache for every
+        # trial sharing this mining tag
+        if not (os.path.exists(os.path.join(abs_root, pat_file + ".npz"))
+                and os.path.exists(os.path.join(abs_root, pairs_file))):
             rc, out = run_tpu(
                 os.path.join(logdir, f"s1_{tag1}.log"), 600, 1200,
                 [py, "scripts/build_pretraining_dataset.py",

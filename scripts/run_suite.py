@@ -42,7 +42,16 @@ def run_job(model, dataset, train_file, epochs, timeout, overrides=""):
             try:
                 return {"metrics": ast.literal_eval(line)}, proc
             except (ValueError, SyntaxError):
-                break
+                # literal_eval rejects nan/inf — a diverged-but-completed run
+                # still counts as done (re-running it won't converge either)
+                try:
+                    metrics = eval(  # noqa: S307 — no builtins, nan/inf only
+                        line, {"__builtins__": {}},
+                        {"nan": float("nan"), "inf": float("inf")},
+                    )
+                    return {"metrics": metrics}, proc
+                except Exception:
+                    break
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-12:])
     return {"error": f"exit {proc.returncode}", "tail": tail}, proc
 

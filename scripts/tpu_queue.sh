@@ -12,7 +12,7 @@ if [ -n "$1" ]; then
 fi
 while true; do
   n=$(cat "$IDX")
-  total=$(wc -l < "$Q")
+  total=$(grep -c "" "$Q")  # counts a final line even without trailing newline
   if [ "$n" -ge "$total" ]; then
     sleep 30
     continue

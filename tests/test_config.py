@@ -96,3 +96,23 @@ def test_bayes_sweep_converges_to_good_region(monkeypatch):
     # often than uniform sampling would (3/18 of the space)
     post = [d for _, d in seen[3:]]
     assert sum(d == 64 for d in post) >= 2
+
+
+def test_bayes_warmup_never_repeats_a_combo(monkeypatch):
+    """Warmup draws are without replacement: on a tiny grid a duplicate draw
+    would burn a full training run re-measuring a point TPE already has
+    (pre-fix this failed for roughly half of all seeds on a 2-combo grid)."""
+    from dr4sr_tpu import quickstart
+
+    for seed in range(12):
+        seen = []
+
+        def fake_run(cfg, root=None):
+            seen.append(cfg["train"]["learning_rate"])
+            return {"val_best": cfg["train"]["learning_rate"]}
+
+        monkeypatch.setattr(quickstart, "run", fake_run)
+        cfg = {"train": {"learning_rate": 0}}
+        sweep = {"train.learning_rate": [1e-3, 1e-2]}
+        quickstart.tune(cfg, sweep, method="bayes", samples=2, seed=seed)
+        assert len(seen) == 2 and len(set(seen)) == 2, f"seed {seed}: {seen}"

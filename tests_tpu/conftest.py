@@ -16,7 +16,10 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
-    if jax.default_backend() in ("cpu",):
+    # allowlist, not a cpu-denylist: on a CUDA-jax host default_backend() is
+    # "gpu" and these Pallas-TPU kernels would fail to lower instead of
+    # skipping as the module docstring promises
+    if jax.default_backend() not in ("tpu", "axon"):
         skip = pytest.mark.skip(reason="no TPU backend — on-chip suite only")
         for item in items:
             item.add_marker(skip)
