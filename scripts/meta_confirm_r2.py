@@ -48,6 +48,9 @@ def main():
     p.add_argument("--sweep", default="results_meta_sweep.json")
     p.add_argument("--out", default="results_meta_confirm.json")
     p.add_argument("--timeout", type=int, default=2700)
+    p.add_argument("--yelp_seeds", default="2023,7",
+                   help="comma list; trim to '2023' when the round clock is "
+                        "tight (the seed-7 arm re-runs cached later)")
     args = p.parse_args()
 
     ov, val = winner_overrides(os.path.join(REPO, args.sweep))
@@ -56,11 +59,11 @@ def main():
         return 1
     print(f"meta winner (toys val {val:.4f}): {ov}", flush=True)
 
-    jobs = [
-        f"MetaModel:amazon-toys:_regen:{ov},train.seed=7",
-        f"MetaModel:yelp:_regen:{ov}",
-        f"MetaModel:yelp:_regen:{ov},train.seed=7",
-    ]
+    jobs = [f"MetaModel:amazon-toys:_regen:{ov},train.seed=7"]
+    for s in args.yelp_seeds.split(","):
+        s = s.strip()
+        seed_ov = "" if s == "2023" else f",train.seed={s}"
+        jobs.append(f"MetaModel:yelp:_regen:{ov}{seed_ov}")
     rc = subprocess.call(
         [sys.executable, os.path.join(REPO, "scripts", "run_suite.py"),
          "--out", args.out, "--timeout", str(args.timeout),
