@@ -28,8 +28,13 @@ class MetaTrainer(Trainer):
         sub_name = config["model"]["sub_model"]
         from dr4sr_tpu.config import load_config
 
+        # explicit CLI overrides (--set/--epochs, stashed by run.py) apply to
+        # the inner training too — without this, train.seed=... would change
+        # only the meta loop and the sub-model would train identically across
+        # seeds (sub-model YAML hyperparameters still take their own values)
         sub_config = load_config(sub_name, config["data"]["dataset"],
-                                 config_dir=config_dir)
+                                 config_dir=config_dir,
+                                 overrides=config.get("_cli_overrides"))
         # the sub-model trains on the same (regenerated) data/files
         sub_config["data"] = copy.deepcopy(config["data"])
         self.meta_config = config

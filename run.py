@@ -39,14 +39,21 @@ def main():
     config = load_config(args.model, args.dataset)
     if args.train_file is not None:
         config["data"]["train_file"] = args.train_file
+    # collected so wrapper trainers (MetaModel) can re-apply the explicit CLI
+    # overrides to their freshly-loaded sub-model config — otherwise
+    # --set train.seed=... / --epochs silently apply only to the meta loop
+    cli: dict = {}
     if args.epochs is not None:
-        config["train"]["epochs"] = args.epochs
+        cli.setdefault("train", {})["epochs"] = args.epochs
     for ov in args.overrides:
         key, _, value = ov.partition("=")
         section, _, name = key.partition(".")
         import yaml as _yaml
 
-        config.setdefault(section, {})[name] = _yaml.safe_load(value)
+        cli.setdefault(section, {})[name] = _yaml.safe_load(value)
+    for section, kv in cli.items():
+        config.setdefault(section, {}).update(kv)
+    config["_cli_overrides"] = cli
 
     mesh_plan = None
     if (args.data_parallel is not None and args.data_parallel > 1) or args.model_parallel > 1:

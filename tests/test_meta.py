@@ -133,3 +133,32 @@ def test_weighted_loss_masks(meta_setup, tmp_path):
         {"params": trainer.state.params}, dbatch, rng_loss, reduce=False
     )
     np.testing.assert_allclose(float(w_loss), float(jnp.sum(ref_ps)), rtol=1e-5)
+
+
+def test_cli_overrides_reach_sub_model_config(meta_setup, tmp_path):
+    """run.py stashes explicit CLI overrides in ``_cli_overrides``; the
+    MetaTrainer must re-apply them to its freshly-loaded sub-model config —
+    otherwise ``--set train.seed=7`` changes only the meta loop and the inner
+    training is bit-identical across seeds (round-2 regression)."""
+    import copy as _copy
+    import os
+
+    from dr4sr_tpu.train.meta_trainer import MetaTrainer
+
+    base_cfg, datasets = meta_setup
+    cfg = _copy.deepcopy(base_cfg)
+    cfg["model"]["model"] = "MetaModel"
+    cfg["model"]["sub_model"] = "SASRec"
+    cfg["train"]["seed"] = 7
+    cfg["_cli_overrides"] = {"train": {"seed": 7, "epochs": 5}}
+
+    config_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs"
+    )
+    trainer = MetaTrainer(cfg, datasets, workdir=str(tmp_path),
+                          config_dir=config_dir)
+    assert trainer.config["train"]["seed"] == 7
+    assert trainer.config["train"]["epochs"] == 5
+    # sub-model YAML hyperparameters not overridden on the CLI keep their own
+    # values (sasrec yaml / basemodel defaults)
+    assert trainer.config["train"]["learning_rate"] == 0.001
