@@ -60,9 +60,15 @@ class MetaTrainer(Trainer):
         rng = jax.random.PRNGKey((seed or 0) + 101)
         d = int(self.config["model"]["embed_dim"])
         mlp_vars = self.meta_module.init(rng, jnp.zeros((1, d)))
+        # reference inits tau=10 (model/metamodel.py:26) and lets the outer
+        # loop learn it down toward tau_min — but at meta_lr 1e-3 tau moves
+        # ~0.1 per 75 epochs, so gumbel weights stay ≈0.5±0.05 (near-uniform)
+        # and the meta-net never differentiates samples; tau_init exposes a
+        # sharper start without changing the reference default
+        tau_init = float(self.meta_config["model"].get("tau_init", 10.0))
         self.meta_params = {
             "mlp": mlp_vars["params"],
-            "tau": jnp.ones(()) * 10.0,
+            "tau": jnp.ones(()) * tau_init,
         }
         self.meta_tx = self._make_meta_optimizer()
         self.meta_opt_state = self.meta_tx.init(self.meta_params)
