@@ -120,7 +120,9 @@ def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20
     return n_steps * batch_size / dt
 
 
-def bench_decode(n_items, sequences, batch_size=2048, max_len=25, n_batches=4):
+def bench_decode(n_items, sequences, batch_size=4096, max_len=25, n_batches=4):
+    # lane-count probe on v5e (scripts/probe_decode_batch.py, round 2):
+    # b2048 25.6k, b4096 29.6k, b8192 28.9k seqs/s — 4096 is the knee
     import jax
 
     from dr4sr_tpu.regen.decode import decode_dataset
