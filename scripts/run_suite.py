@@ -56,6 +56,13 @@ def run_job(model, dataset, train_file, epochs, timeout, overrides=""):
     return {"error": f"exit {proc.returncode}", "tail": tail}, proc
 
 
+def transient_backend_failure(record):
+    """True when a job died at TPU-client init (axon wedge / tunnel outage) —
+    a machine-state failure worth one backoff-retry, unlike a config error."""
+    return ("error" in record
+            and "Unable to initialize backend" in record.get("tail", ""))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--jobs", nargs="+", required=True,
@@ -86,6 +93,15 @@ def main():
         try:
             record, _ = run_job(model, dataset, train_file, args.epochs,
                                 args.timeout, overrides)
+            if transient_backend_failure(record):
+                # axon wedge/outage: the job fast-fails at client init, and so
+                # would every job after it — back off once and retry before
+                # recording, instead of burning the whole suite
+                print(f"backend unavailable for {key}; retrying in 300s",
+                      flush=True)
+                time.sleep(300)
+                record, _ = run_job(model, dataset, train_file, args.epochs,
+                                    args.timeout, overrides)
         except subprocess.TimeoutExpired:
             record = {"error": "timeout"}
         record["wall_s"] = round(time.time() - t0, 1)

@@ -104,3 +104,14 @@ def test_confirm_best_trial_uses_multi_seed_mean(tmp_path):
     assert name == "trial_b"
     # representative record is the best seed of the winning group
     assert rec["metrics"]["val_best"] == 0.049
+
+
+def test_run_suite_transient_backend_matcher():
+    rs = _load("run_suite")
+    wedge = {"error": "exit 1",
+             "tail": "RuntimeError: Unable to initialize backend 'axon': "
+                     "UNAVAILABLE: TPU backend setup/compile error"}
+    assert rs.transient_backend_failure(wedge)
+    assert not rs.transient_backend_failure(
+        {"error": "exit 1", "tail": "ValueError: bad config"})
+    assert not rs.transient_backend_failure({"metrics": {"ndcg@20": 0.1}})
