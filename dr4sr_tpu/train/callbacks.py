@@ -61,12 +61,14 @@ class EarlyStopping:
         if self.monitor not in metrics:
             raise ValueError(f"monitor {self.monitor} not in metrics {list(metrics)}")
         value = float(metrics[self.monitor])
-        # strict improvement (reference ``utils/callbacks.py:94-121``): a
-        # plateaued metric must NOT reset patience
+        # reference semantics (``utils/callbacks.py:98,106``): ``>=`` / ``<=``
+        # — a plateaued metric DOES reset patience and re-snapshots the
+        # checkpoint (ADVICE r2: round-2 briefly ran a strict '>' rule here;
+        # restored to match the reference's early-stop/selection protocol)
         improved = (
-            value > self.best_value + self.delta
+            value >= self.best_value + self.delta
             if self.mode == "max"
-            else value < self.best_value - self.delta
+            else value <= self.best_value - self.delta
         )
         if improved:
             self.best_value = value

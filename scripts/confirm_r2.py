@@ -1,6 +1,9 @@
 """Round-2 confirmation suite: seed-paired base-vs-regen runs for all four
-datasets under ONE protocol (current code: strict-improvement early stop,
-patience 20 = reference semantics).
+datasets under ONE protocol (patience 20; NOTE: the round-2 runs used a
+strict '>' improvement rule that DEVIATES from the reference's '>='
+(utils/callbacks.py:98,106) — both arms ran under the same rule, so the
+paired deltas stand, but absolute numbers used a stricter selection than the
+reference. The '>=' semantics were restored in round 3; ADVICE r2).
 
 Reads the phase-1 sweep results, picks the best trial per dataset on
 ``val_best``, copies its regenerated train file out of the sweep snapshot,

@@ -14,7 +14,6 @@ is resumable.
 """
 
 import argparse
-import ast
 import json
 import os
 import shutil
@@ -25,7 +24,10 @@ import time
 import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 TPU_RUN = os.path.join(REPO, "scripts", "tpu_run.sh")
+
+from dr4sr_tpu.utils.parsing import parse_metric_line  # noqa: E402
 
 
 def log(msg):
@@ -45,27 +47,12 @@ def run_tpu(logfile, grace, total, cmd):
 
 
 def parse_final_dict(out):
+    # nan/inf-tolerant, eval-free parse (dr4sr_tpu/utils/parsing.py; ADVICE r2)
     for line in reversed(out.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
-            return parse_metric_dict(line)
+        metrics = parse_metric_line(line)
+        if metrics is not None:
+            return metrics
     return None
-
-
-def parse_metric_dict(line):
-    """Parse run.py's final python-dict repr. ``ast.literal_eval`` rejects
-    nan/inf, so a diverged-but-completed run must not be recorded as an error
-    (it would be re-run on every sweep resume)."""
-    try:
-        return ast.literal_eval(line)
-    except (ValueError, SyntaxError):
-        try:
-            return eval(  # noqa: S307 — no builtins, names limited to nan/inf
-                line, {"__builtins__": {}},
-                {"nan": float("nan"), "inf": float("inf")},
-            )
-        except Exception:
-            return None
 
 
 def fmt(x):

@@ -13,7 +13,6 @@ section.key=value pairs), e.g.
 """
 
 import argparse
-import ast
 import json
 import os
 import subprocess
@@ -21,6 +20,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from dr4sr_tpu.utils.parsing import parse_metric_line  # noqa: E402
 
 
 def run_job(model, dataset, train_file, epochs, timeout, overrides=""):
@@ -35,23 +37,14 @@ def run_job(model, dataset, train_file, epochs, timeout, overrides=""):
         cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO
     )
     out = proc.stdout.strip().splitlines()
-    # run.py prints the final metric dict on the last line
+    # run.py prints the final metric dict on the last line; nan/inf-tolerant
+    # parse without eval (dr4sr_tpu/utils/parsing.py; ADVICE r2)
     for line in reversed(out):
-        line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
-            try:
-                return {"metrics": ast.literal_eval(line)}, proc
-            except (ValueError, SyntaxError):
-                # literal_eval rejects nan/inf — a diverged-but-completed run
-                # still counts as done (re-running it won't converge either)
-                try:
-                    metrics = eval(  # noqa: S307 — no builtins, nan/inf only
-                        line, {"__builtins__": {}},
-                        {"nan": float("nan"), "inf": float("inf")},
-                    )
-                    return {"metrics": metrics}, proc
-                except Exception:
-                    break
+        metrics = parse_metric_line(line)
+        if metrics is not None:
+            return {"metrics": metrics}, proc
+        if line.strip().startswith("{") and line.strip().endswith("}"):
+            break  # looked like the dict line but unparseable: record error
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-12:])
     return {"error": f"exit {proc.returncode}", "tail": tail}, proc
 

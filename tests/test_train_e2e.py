@@ -132,17 +132,20 @@ def test_resume_from_snapshot(synthetic_root_module, synthetic_config_module, tm
     assert t3.logged_metrics["epoch"] == 2
 
 
-def test_strict_improvement_early_stopping(tmp_path):
-    """A plateaued monitor must NOT reset patience (reference semantics,
-    utils/callbacks.py:94-121; VERDICT r1 weak-#8)."""
+def test_plateau_resets_early_stopping(tmp_path):
+    """Reference semantics (utils/callbacks.py:98,106): a tied metric counts
+    as improvement — patience resets and the checkpoint epoch advances."""
     from dr4sr_tpu.train.callbacks import EarlyStopping
 
     cb = EarlyStopping("ndcg@20", "ds", "M", save_dir=None, patience=3)
     params = {"w": np.zeros(1)}
     assert not cb(params, {}, 0, {"ndcg@20": 0.5})  # improvement
     stops = [cb(params, {}, i, {"ndcg@20": 0.5}) for i in range(1, 4)]
-    assert stops == [False, False, True]  # ties never reset the counter
-    assert cb.best_epoch == 0
+    assert stops == [False, False, False]  # ties reset the counter
+    assert cb.best_epoch == 3
+    # a genuine regression does consume patience
+    stops = [cb(params, {}, 4 + i, {"ndcg@20": 0.4}) for i in range(3)]
+    assert stops == [False, False, True]
 
 
 def test_analyzer_figures_rendered_during_fit(trained):
