@@ -6,9 +6,6 @@ Usage (mirrors the reference ``run.py``):
 
 import argparse
 
-from dr4sr_tpu.config import load_config
-from dr4sr_tpu import quickstart
-
 
 def main():
     parser = argparse.ArgumentParser()
@@ -26,10 +23,21 @@ def main():
                         help="size of the model mesh axis")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() first")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the harness pins "
+                             "JAX_PLATFORMS=axon; this is the only override)")
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="section.key=value",
                         help="config override, e.g. --set model.sub_model=SASRec")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from dr4sr_tpu.config import load_config
+    from dr4sr_tpu import quickstart
 
     if args.multihost:
         from dr4sr_tpu.parallel.mesh import init_distributed
