@@ -5,8 +5,12 @@ workload (rebuilt from the reference's bundled ``seq2pat_data.pth``).
 Baseline: the reference trains SASRec on amazon-toys at ~13.4 s/epoch over
 ~19.4k sequences on its GPU (BASELINE.md) ≈ 1449 seqs/s.
 
-Extras: full-catalog masked top-k eval throughput and batched hybrid-decode
-throughput (vs the reference's batch=1 greedy loop). Prints ONE JSON line.
+Extras: full-catalog masked top-k eval throughput, batched hybrid-decode
+throughput (vs the reference's batch=1 greedy loop), and analytic
+FLOPs/step + MFU vs the chip's bf16 peak. Prints ONE JSON line — always,
+even on backend failure (VERDICT r2 weak-#1): TPU-client init is
+health-checked in a subprocess and retried with backoff before any
+in-process jax work, and main() emits whatever completed on error.
 """
 
 from __future__ import annotations
@@ -14,6 +18,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -21,6 +27,50 @@ import numpy as np
 REFERENCE_SEQS_PER_SEC = 19412 / 13.4  # ≈1449, poster toys runtime (GPU)
 
 TOYS_SEQ2PAT = "/root/reference/dataset/amazon-toys/toy/seq2pat_data.pth"
+
+# TPU v5e (1 chip): 197 TFLOP/s bf16 on the MXU (public spec). fp32 matmuls
+# run below this, so MFU-vs-bf16-peak is a conservative lower bound.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def backend_health(timeout_s: int = 420) -> bool:
+    """Run a tiny jit matmul in a SUBPROCESS (a hung/poisoned axon client
+    cannot be recovered in-process; memory: axon-tpu-quirks)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(jnp.dot(jnp.ones((8,8)), jnp.ones((8,8))).sum())")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(retries: int = 2, backoff_s: int = 300) -> bool:
+    """One bench-level backoff-retry cycle for axon outages (the same
+    failure mode scripts/run_suite.py:61-100 retries)."""
+    for attempt in range(retries + 1):
+        if backend_health():
+            return True
+        if attempt < retries:
+            print(f"# backend unhealthy, retry in {backoff_s}s "
+                  f"(attempt {attempt + 1}/{retries})", file=sys.stderr)
+            time.sleep(backoff_s)
+    return False
+
+
+def transformer_train_flops(batch, seq_len, embed_dim, hidden, layers,
+                            num_neg=1):
+    """Analytic matmul FLOPs for one SASRec train step (fwd + 2x bwd).
+
+    Per layer: QKV+out projections 8*B*S*D^2, attention scores+apply
+    4*B*S^2*D, FFN 4*B*S*D*F; scoring adds 2*B*S*(1+num_neg)*2*D.
+    """
+    per_layer = (8 * batch * seq_len * embed_dim ** 2
+                 + 4 * batch * seq_len ** 2 * embed_dim
+                 + 4 * batch * seq_len * embed_dim * hidden)
+    scoring = 4 * batch * seq_len * (1 + num_neg) * embed_dim
+    return 3 * (layers * per_layer + scoring)
 
 
 def measured_reference():
@@ -178,6 +228,9 @@ def bench_stress(batch_size=128, n_items=1_000_000, seq_len=512, embed_dim=256,
                    np.ones((batch_size, seq_len), np.float32),
                    np.zeros(batch_size, np.int32))
     sps, step_ms, state = bench_train(rec, rows, batch_size, n_steps=n_steps)
+    flops = transformer_train_flops(batch_size, seq_len, embed_dim,
+                                    4 * embed_dim, 2)
+    tflops = flops / (step_ms / 1000) / 1e12
 
     # full-catalog eval at 1M items
     eval_rows = RowData(rows.user_id, seq, tgt[:, 0], lens,
@@ -191,17 +244,15 @@ def bench_stress(batch_size=128, n_items=1_000_000, seq_len=512, embed_dim=256,
         "stress_step_ms": round(step_ms, 1),
         "stress_tokens_per_sec": round(sps * seq_len, 0),
         "stress_eval_seqs_per_sec": round(eval_sps, 1),
+        "stress_train_tflops_per_sec": round(tflops, 2),
+        "stress_mfu_vs_bf16_peak": round(
+            tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4),
     }
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--quick", action="store_true",
-                        help="training throughput only")
-    parser.add_argument("--stress", action="store_true",
-                        help="also run the L=512/D=256/1M-item scale demo")
-    args = parser.parse_args()
-
+def run_benchmarks(args, extras):
+    """All measurement; mutates ``extras`` progressively so the caller can
+    emit whatever completed even if a later stage raises."""
     import jax
 
     from dr4sr_tpu.data.synthetic import synthetic_config
@@ -219,13 +270,24 @@ def main():
     rec = RecModel(cfg, get_model_class("SASRec").build(cfg, n_items), n_items, n_users)
     train_sps, step_ms, state = bench_train(rec, train_rows, batch_size)
 
-    extras = {
+    flops = transformer_train_flops(
+        batch_size, cfg["data"]["max_seq_len"], cfg["model"]["embed_dim"],
+        cfg["model"]["hidden_size"], cfg["model"]["layer_num"])
+    tflops = flops / (step_ms / 1000) / 1e12
+    extras.update({
         "num_items": int(n_items),
         "num_train_rows": len(train_rows),
         "batch_size": batch_size,
         "step_ms": round(step_ms, 2),
         "device": str(jax.devices()[0]),
-    }
+        "train_flops_per_step": int(flops),
+        "train_tflops_per_sec": round(tflops, 3),
+        # analytic matmul FLOPs / v5e bf16 peak — tiny D=64 research shapes
+        # are HBM/latency-bound, so this is expected to be small; the
+        # --stress config is the MXU-utilization story
+        "mfu_vs_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 5),
+    })
+    extras["_primary"] = (name, train_sps)
     if not args.quick:
         try:
             big_sps, big_ms, _ = bench_train(rec, train_rows, 2048, n_steps=20)
@@ -267,6 +329,36 @@ def main():
         extras["vs_reference_cpu_measured"] = round(
             train_sps / ref["train_seqs_per_sec"], 1
         )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="training throughput only")
+    parser.add_argument("--stress", action="store_true",
+                        help="also run the L=512/D=256/1M-item scale demo")
+    parser.add_argument("--no-health-check", action="store_true",
+                        help="skip the subprocess backend probe (CI/CPU)")
+    args = parser.parse_args()
+
+    extras = {}
+    if not args.no_health_check and not wait_for_backend():
+        # a hung axon init would block in-process forever and emit nothing;
+        # fall back to CPU so the driver still gets an honest (labeled) line
+        extras["backend_unavailable"] = True
+        print(f"# backend unavailable after retries; JAX_PLATFORMS="
+              f"{os.environ.get('JAX_PLATFORMS')!r}; falling back to CPU",
+              file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    error = None
+    try:
+        run_benchmarks(args, extras)
+    except Exception as e:  # emit whatever completed (VERDICT r2 weak-#1)
+        error = f"{type(e).__name__}: {e}"
+
+    name, train_sps = extras.pop("_primary", ("unmeasured", 0.0))
     out = {
         "metric": f"train_seqs_per_sec_sasrec_{name}",
         "value": round(train_sps, 1),
@@ -276,6 +368,8 @@ def main():
         "vs_baseline": round(train_sps / REFERENCE_SEQS_PER_SEC, 3),
         "extras": extras,
     }
+    if error:
+        out["error"] = error[:300]
     print(json.dumps(out))
 
 
