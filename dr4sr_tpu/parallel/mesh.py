@@ -78,6 +78,23 @@ class MeshPlan:
         return self.replicated()
 
 
+def put_global(value: Any, sharding: NamedSharding) -> jax.Array:
+    """Place a host array under a sharding that may span processes.
+
+    Single-process (the common case): plain ``device_put``. Multi-process
+    (after :func:`init_distributed`): every host holds the FULL array (our
+    loaders are deterministic per-host), so each process donates the slices
+    it can address via ``make_array_from_callback`` — ``device_put`` onto
+    non-addressable devices would fail.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    arr = np.asarray(value)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def shard_params(params: Any, plan: MeshPlan) -> Any:
     """Place params per the plan: everything replicated except (optionally)
     the item-embedding table, row-sharded over the ``model`` axis."""
@@ -88,7 +105,7 @@ def shard_params(params: Any, plan: MeshPlan) -> Any:
     def place(path, leaf):
         path_str = "/".join(str(getattr(p, "key", p)) for p in path)
         sh = plan.param_sharding(path_str, np.ndim(leaf))
-        return jax.device_put(leaf, sh)
+        return put_global(leaf, sh)
 
     return tree_map_with_path(place, params)
 
@@ -99,7 +116,7 @@ def shard_batch(batch: Dict[str, np.ndarray], plan: MeshPlan) -> Dict[str, jax.A
         return jax.device_put(batch)
     out = {}
     for k, v in batch.items():
-        out[k] = jax.device_put(v, plan.batch_sharding(np.ndim(v)))
+        out[k] = put_global(v, plan.batch_sharding(np.ndim(v)))
     return out
 
 
@@ -107,7 +124,7 @@ def replicate(tree: Any, plan: MeshPlan) -> Any:
     if plan.mesh is None:
         return tree
     sh = plan.replicated()
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), tree)
 
 
 def pad_batch_to_multiple(batch: Dict[str, np.ndarray], multiple: int) -> Dict[str, np.ndarray]:

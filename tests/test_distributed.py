@@ -219,3 +219,60 @@ def test_trainer_sharded_eval_matches_replicated(dist_setup):
     b = sharded._eval_epoch(sharded.val_data, "syn", sharded.state.params)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=1e-5)
+
+
+def test_two_process_jax_distributed_param_parity():
+    """TRUE multi-process test (SURVEY §4; VERDICT r2 next-#6): two OS
+    processes join via jax.distributed.initialize on localhost, form a
+    2-device global ``data`` mesh (one CPU device each), run real SASRec
+    train steps through shard_params/shard_batch/put_global, and must agree
+    bit-for-bit with each other and numerically with a single-process run."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    import tests.mp_worker as mp_worker
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    workers = []
+    for pid in range(2):
+        workers.append(subprocess.Popen(
+            [sys.executable, mp_worker.__file__,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    try:
+        for w in workers:
+            out, err = w.communicate(timeout=420)
+            outs.append((w.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for w in workers:
+            w.kill()
+        pytest.skip("jax.distributed localhost workers timed out on this host")
+
+    results = []
+    for rc, out, err in outs:
+        if rc != 0 and ("UNIMPLEMENTED" in err or "not supported" in err):
+            pytest.skip(f"jax.distributed unsupported here: {err[-200:]}")
+        assert rc == 0, f"worker failed: {err[-1500:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+
+    assert all(r["num_processes"] == 2 for r in results)
+    assert all(r["global_devices"] == 2 for r in results)
+    # both controllers saw the identical SPMD program: bit-identical
+    assert results[0]["checksum"] == results[1]["checksum"]
+    assert results[0]["loss"] == results[1]["loss"]
+
+    # single-process run of the same function (mesh=None) as ground truth
+    from dr4sr_tpu.parallel.mesh import MeshPlan
+
+    chk, loss = mp_worker.run_training(MeshPlan(mesh=None))
+    np.testing.assert_allclose(results[0]["checksum"], chk, rtol=1e-5)
+    np.testing.assert_allclose(results[0]["loss"], loss, rtol=1e-5)
