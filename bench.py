@@ -103,10 +103,11 @@ def load_workload(max_seq_len: int = 50):
     return name, seqs, train, val, n_users, n_items
 
 
-def bench_train(rec, train_rows, batch_size, n_steps=60):
+def bench_train(rec, train_rows, batch_size, n_steps=60, precision="fp32"):
     import functools
 
     import jax
+    import jax.numpy as jnp
 
     from dr4sr_tpu.data.loader import BatchIterator
     from dr4sr_tpu.train.trainer import TrainState, make_optimizer
@@ -118,10 +119,17 @@ def bench_train(rec, train_rows, batch_size, n_steps=60):
     tx = make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
     state = TrainState.create(apply_fn=rec.module.apply, params=variables["params"], tx=tx)
 
+    def maybe_cast(p):  # mixed precision: bf16 fwd/bwd, f32 master weights
+        if precision != "bf16":
+            return p
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         loss, grads = jax.value_and_grad(
-            lambda p: rec.training_loss({"params": p}, batch, rng)
+            lambda p: rec.training_loss({"params": maybe_cast(p)}, batch, rng)
         )(state.params)
         return state.apply_gradients(grads=grads), loss
 
@@ -231,6 +239,18 @@ def bench_stress(batch_size=128, n_items=1_000_000, seq_len=512, embed_dim=256,
     flops = transformer_train_flops(batch_size, seq_len, embed_dim,
                                     4 * embed_dim, 2)
     tflops = flops / (step_ms / 1000) / 1e12
+    # same workload under bf16 mixed precision (train.precision: bf16)
+    try:
+        sps16, ms16, _ = bench_train(rec, rows, batch_size, n_steps=n_steps,
+                                     precision="bf16")
+        bf16 = {
+            "stress_bf16_train_seqs_per_sec": round(sps16, 1),
+            "stress_bf16_step_ms": round(ms16, 1),
+            "stress_bf16_mfu_vs_bf16_peak": round(
+                flops / (ms16 / 1000) / V5E_BF16_PEAK_FLOPS, 4),
+        }
+    except Exception as e:
+        bf16 = {"stress_bf16_error": str(e)[:120]}
 
     # full-catalog eval at 1M items
     eval_rows = RowData(rows.user_id, seq, tgt[:, 0], lens,
@@ -247,6 +267,7 @@ def bench_stress(batch_size=128, n_items=1_000_000, seq_len=512, embed_dim=256,
         "stress_train_tflops_per_sec": round(tflops, 2),
         "stress_mfu_vs_bf16_peak": round(
             tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4),
+        **bf16,
     }
 
 

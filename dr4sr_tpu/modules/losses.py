@@ -35,6 +35,9 @@ def binary_cross_entropy_loss(
     mask: jax.Array,  # bool, same shape as pos_score; True = real
     reduce: bool = True,
 ) -> jax.Array:
+    # loss math always in f32 (scores may arrive bf16 under mixed precision)
+    pos_score = pos_score.astype(jnp.float32)
+    neg_score = neg_score.astype(jnp.float32)
     mask_f = mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(mask_f), 1.0)
 
@@ -60,6 +63,8 @@ def bpr_loss(
     mask: jax.Array,
     reduce: bool = True,
 ) -> jax.Array:
+    pos_score = pos_score.astype(jnp.float32)
+    neg_score = neg_score.astype(jnp.float32)
     mask_f = mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(mask_f), 1.0)
     diff = pos_score[..., None] - neg_score

@@ -91,6 +91,11 @@ class Trainer:
 
             self.train_data.data = expand_prefix_rows(self.train_data.rows())
         self.contrastive = bool(getattr(self.model_class, "contrastive", False))
+        # mixed precision: 'bf16' runs fwd+bwd in bfloat16 with f32 master
+        # weights (MXU-native; TPU-first design, no reference counterpart)
+        prec = str(config["train"].get("precision", "fp32")).lower()
+        assert prec in ("fp32", "float32", "bf16", "bfloat16"), prec
+        self.compute_dtype = jnp.bfloat16 if prec.startswith("bf") else None
         self.aug_from_original = bool(
             getattr(self.model_class, "aug_from_original", False)
         )
@@ -220,6 +225,16 @@ class Trainer:
         # combining ``aux_loss`` with ``contrastive`` gets BOTH terms (round 2
         # early-returned on aux_loss, silently dropping cl_weight; ADVICE r2).
         # rng split order keeps single-branch models bit-identical to round 2.
+        if self.compute_dtype is not None:
+            # mixed precision (train.precision: bf16): master params stay
+            # f32 in the optimizer; fwd+bwd run in bf16 on the MXU (grads
+            # upcast back through the cast's transpose); losses upcast
+            # scores to f32 internally (modules/losses.py)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params,
+            )
         variables = {"params": params}
         aux_fn = getattr(self.model_class, "aux_loss", None)
         r_aux = r_cl = None
@@ -252,7 +267,7 @@ class Trainer:
                 self.rec.module, variables, batch, r_aux,
                 self.config["model"], self.num_items,
             )
-        return loss
+        return loss.astype(jnp.float32)
 
     @property
     def train_step(self):
