@@ -355,6 +355,20 @@ class TransformerDecoder(nn.Module):
         return x, jnp.stack(new_k), jnp.stack(new_v)
 
 
+def gru_uniform_init(hidden_dim: int):
+    """torch ``nn.GRU`` default: U(-1/sqrt(H), 1/sqrt(H)) for every weight.
+    The reference's ``normal_initialization`` (utils/utils.py:70-81) only
+    re-inits Embedding/Linear/LayerNorm, so its GRU keeps this default —
+    round 2 used normal(0.02) here (~3x smaller recurrent scale), a
+    candidate cause of the GRU4Rec quality gap (VERDICT r2 weak-#4)."""
+    bound = 1.0 / float(hidden_dim) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class GRUCellNoBias(nn.Module):
     """Single GRU step given precomputed input projections, bias-free
     (matches ``nn.GRU(bias=False)``)."""
@@ -363,7 +377,8 @@ class GRUCellNoBias(nn.Module):
 
     @nn.compact
     def __call__(self, h, x_proj):  # x_proj: [B, 3H] = W_i x_t (precomputed)
-        wh = nn.Dense(3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
+        wh = nn.Dense(3 * self.hidden_dim, use_bias=False,
+                      kernel_init=gru_uniform_init(self.hidden_dim),
                       name="wh")(h)
         xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
         hr, hz, hn = jnp.split(wh, 3, axis=-1)
@@ -391,7 +406,8 @@ class GRUStack(nn.Module):
         b = x.shape[0]
         for layer in range(self.num_layers):
             x_proj = nn.Dense(
-                3 * self.hidden_dim, use_bias=False, kernel_init=normal_init,
+                3 * self.hidden_dim, use_bias=False,
+                kernel_init=gru_uniform_init(self.hidden_dim),
                 name=f"cell_{layer}_wi",
             )(x)  # [B, L, 3H] in one matmul
             cell = GRUCellNoBias(self.hidden_dim, name=f"cell_{layer}")
