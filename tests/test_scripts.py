@@ -115,3 +115,43 @@ def test_run_suite_transient_backend_matcher():
     assert not rs.transient_backend_failure(
         {"error": "exit 1", "tail": "ValueError: bad config"})
     assert not rs.transient_backend_failure({"metrics": {"ndcg@20": 0.1}})
+
+
+def test_r3_matrix_job_generation():
+    """Every stage emits well-formed Model:dataset:file:overrides jobs with
+    seeds pinned; regen files must reference real per-dataset winners."""
+    r3 = _load("r3_matrix")
+    all_jobs = []
+    for stage in (1, 2, 3, 4, 5):
+        all_jobs += r3.stage_jobs(stage)
+    assert len(all_jobs) == 16 + 8 + 8 + 24 + 3
+    for job in all_jobs:
+        parts = job.split(":", 3)
+        assert len(parts) == 4
+        model, ds, tf, ov = parts
+        assert model in ("SASRec", "MetaModel", "FMLP", "CL4SRec", "GRU4Rec")
+        assert ds in r3.REGEN_FILE or ds in ("amazon-toys", "yelp")
+        assert tf == "" or tf == r3.REGEN_FILE[ds]
+        assert "train.seed=" in ov
+        if model == "MetaModel":
+            assert "model.sub_model=SASRec" in ov
+    # resumable keys must be distinct
+    keys = set()
+    for job in all_jobs:
+        model, ds, tf, ov = job.split(":", 3)
+        keys.add(f"{model}/{ds}{tf or '_base'}[{ov}]")
+    assert len(keys) == len(all_jobs)
+
+
+def test_summarize_r3_tables(tmp_path):
+    """Paired-Δ math and CI formatting over a fabricated results file."""
+    sm = _load("summarize_r3")
+    mean, sd, half = sm.paired_stats([0.001, 0.002, 0.003, 0.002])
+    assert abs(mean - 0.002) < 1e-12
+    assert half is not None and half > 0
+    p = sm.parse_key(
+        "SASRec/amazon-beauty_sw_ewm1p0_g0p0_both_a5b2K5_or2_ml3[train.seed=42]")
+    assert p == ("SASRec", "amazon-beauty",
+                 "_sw_ewm1p0_g0p0_both_a5b2K5_or2_ml3", 42, "")
+    p = sm.parse_key("SASRec/amazon-toys_base[train.seed=7]")
+    assert p == ("SASRec", "amazon-toys", "_base", 7, "")
