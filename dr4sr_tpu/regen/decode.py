@@ -176,10 +176,19 @@ def decode_dataset(
     seed: int = 0,
     mesh_plan=None,
     use_kv_cache: bool = True,
+    precision: str = "fp32",
 ) -> List[List[int]]:
     """Decode every sequence under every condition; returns raw regenerated
     item lists (SOS/EOS stripped). Equivalent of the reference's
-    ``for k in range(K): for seq in seqlist: translate(...)`` loop."""
+    ``for k in range(K): for seq in seqlist: translate(...)`` loop.
+
+    ``precision='bf16'`` casts the generator weights to bfloat16 for the
+    decode program (throughput knob — halves weight HBM traffic; greedy
+    argmax may flip on near-tied logits, so it is opt-in, default fp32)."""
+    if precision == "bf16":
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
     sos, eos = generator.sos, generator.eos
     n = len(sequences)
     src_all = np.zeros((n, max_src), np.int32)
