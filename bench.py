@@ -178,7 +178,8 @@ def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20
     return n_steps * batch_size / dt
 
 
-def bench_decode(n_items, sequences, batch_size=4096, max_len=25, n_batches=4):
+def bench_decode(n_items, sequences, batch_size=4096, max_len=25, n_batches=4,
+                 precision="fp32"):
     # lane-count probe on v5e (scripts/probe_decode_batch.py, round 2):
     # b2048 25.6k, b4096 29.6k, b8192 28.9k seqs/s — 4096 is the knee
     import jax
@@ -196,10 +197,10 @@ def bench_decode(n_items, sequences, batch_size=4096, max_len=25, n_batches=4):
     subset = [list(s) for s in sequences[: batch_size]]
     # warmup/compile
     decode_dataset(gen, variables, subset[:batch_size], 1,
-                   batch_size=batch_size, max_len=max_len)
+                   batch_size=batch_size, max_len=max_len, precision=precision)
     t0 = time.perf_counter()
     decode_dataset(gen, variables, subset, n_batches,
-                   batch_size=batch_size, max_len=max_len)
+                   batch_size=batch_size, max_len=max_len, precision=precision)
     dt = time.perf_counter() - t0
     return len(subset) * n_batches / dt
 
@@ -334,6 +335,8 @@ def run_benchmarks(args, extras):
                 )
             else:
                 extras["regen_vs_reference_est"] = round(decode_sps / 30.0, 1)
+            extras["regen_decode_bf16_seqs_per_sec"] = round(
+                bench_decode(n_items, seqs, precision="bf16"), 1)
         except Exception as e:
             extras["decode_error"] = str(e)[:120]
     if args.stress:
