@@ -22,11 +22,25 @@ def seed_everything(seed: int = 1111) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 
+def apply_platform_override() -> None:
+    """Honor ``DR4SR_PLATFORM`` (e.g. ``cpu``). The harness pins
+    ``JAX_PLATFORMS=axon`` at the env level, which JAX reads before any
+    config update — this is the only way to force another backend for a
+    whole subprocess tree (orchestrators set it when the TPU tunnel is
+    down)."""
+    plat = os.environ.get("DR4SR_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compilation_cache(path: str = None) -> None:
     """Persistent XLA compilation cache: repeat CLI invocations (pipeline
     stages, suite runs) skip the multi-minute recompile."""
     import jax
 
+    apply_platform_override()
     path = path or os.environ.get(
         "DR4SR_COMPILE_CACHE", os.path.expanduser("~/.cache/dr4sr_jax_cache")
     )
