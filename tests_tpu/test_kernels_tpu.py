@@ -165,3 +165,35 @@ def test_kv_cached_decode_on_chip():
                                         jnp.asarray(cond), r, max_len=12,
                                         gamma=0.5)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+
+
+def test_flash_attention_bf16_io_on_chip():
+    """Round 3 adds bf16 mixed-precision training: the Pallas kernel must
+    accept bfloat16 q/k/v on hardware (f32 accumulate inside, bf16 out)."""
+    from dr4sr_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    q, k, v, pad = _rand_qkv(rng)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    kb = jnp.asarray(k, jnp.bfloat16)
+    vb = jnp.asarray(v, jnp.bfloat16)
+    out = flash_attention(qb, kb, vb, jnp.asarray(pad), causal=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _np_attention(q, k, v, pad, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, atol=3e-2)  # bf16 io rounding
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # backward also lowers with bf16 io (multihead_attention is the
+    # custom-VJP entry point; raw flash_attention has no grad rule)
+    from dr4sr_tpu.ops.attention import multihead_attention
+
+    def loss(a, b, c):
+        return jnp.sum(multihead_attention(
+            a, b, c, key_padding_mask=jnp.asarray(pad), causal=True,
+            use_pallas=True).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
+    for g in grads:
+        assert g.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(g, np.float32)).all()
