@@ -58,7 +58,7 @@ def main():
     root = os.path.join("dataset", args.dataset, domain)
 
     # ---------------- (a) fused, one process
-    dt_fused, out = run(
+    _, out = run(
         py + ["scripts/fused_pipeline.py", "--dataset", args.dataset,
               "--regen-epochs", str(args.regen_epochs),
               "--train-epochs", str(args.train_epochs), "--K", str(args.K)]
