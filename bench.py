@@ -148,7 +148,8 @@ def bench_train(rec, train_rows, batch_size, n_steps=60, precision="fp32"):
     return n_steps * batch_size / dt, 1000 * dt / n_steps, state
 
 
-def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20):
+def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20,
+               method="exact"):
     import jax
     import jax.numpy as jnp
 
@@ -165,7 +166,7 @@ def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20
         query = rec.encode_eval({"params": params}, batch)
         table = item_table({"params": params})[:n_items]
         return masked_topk_scores(query, table, k, item_keep_mask=keep,
-                                  user_hist=batch["user_hist"])
+                                  user_hist=batch["user_hist"], method=method)
 
     db = jax.device_put(batch)
     out = step(state.params, db, keep)
@@ -259,12 +260,20 @@ def bench_stress(batch_size=128, n_items=1_000_000, seq_len=512, embed_dim=256,
                         rows.domain_id, user_hist=seq)
     eval_sps = bench_eval(rec, state, eval_rows, n_items,
                           batch_size=batch_size, k=100, n_steps=5)
+    # same eval under eval.topk_method=approx (TPU approx_max_k MIPS path)
+    try:
+        eval_approx_sps = round(bench_eval(
+            rec, state, eval_rows, n_items, batch_size=batch_size, k=100,
+            n_steps=5, method="approx"), 1)
+    except Exception as e:
+        eval_approx_sps = f"error: {str(e)[:80]}"
     return {
         "stress_config": f"B{batch_size} L{seq_len} D{embed_dim} N{n_items}",
         "stress_train_seqs_per_sec": round(sps, 1),
         "stress_step_ms": round(step_ms, 1),
         "stress_tokens_per_sec": round(sps * seq_len, 0),
         "stress_eval_seqs_per_sec": round(eval_sps, 1),
+        "stress_eval_approx_topk_seqs_per_sec": eval_approx_sps,
         "stress_train_tflops_per_sec": round(tflops, 2),
         "stress_mfu_vs_bf16_peak": round(
             tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 4),

@@ -177,11 +177,12 @@ class RecModel:
         batch: Batch,
         k: int,
         item_keep_mask: Optional[jax.Array] = None,
+        method: str = "exact",
     ) -> Tuple[jax.Array, jax.Array]:
         """Full-catalog masked top-k (reference ``BaseModel.topk``)."""
         query = self.encode_eval(params, batch)
         table = item_table(params)[: self.num_items]
         return masked_topk_scores(
             query, table, min(k, self.num_items), item_keep_mask=item_keep_mask,
-            user_hist=batch.get("user_hist"),
+            user_hist=batch.get("user_hist"), method=method,
         )

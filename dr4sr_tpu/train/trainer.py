@@ -290,7 +290,12 @@ class Trainer:
     def _topk_for_eval(self, params, batch, k, keep_mask):
         """Full-catalog masked top-k; uses the explicit shard_map merge when
         the item table is row-sharded over the model axis (communication is
-        k·S candidates per query instead of an all-gathered table)."""
+        k·S candidates per query instead of an all-gathered table).
+
+        ``eval.topk_method: approx`` (default exact) switches to the TPU's
+        ``approx_max_k`` MIPS primitive — a serving-scale knob for catalogs
+        far beyond the research datasets (see ``ops/topk.py::_topk``)."""
+        method = str(self.config["eval"].get("topk_method", "exact"))
         plan = self.plan
         if (
             plan.mesh is not None
@@ -315,7 +320,7 @@ class Trainer:
             fn = shard_map(
                 lambda q, t, km, h: sharded_masked_topk(
                     q, t, min(k, self.num_items), "model",
-                    item_keep_mask_local=km, user_hist=h,
+                    item_keep_mask_local=km, user_hist=h, method=method,
                 ),
                 mesh=plan.mesh,
                 in_specs=(P(), P("model"), P("model"), P()),
@@ -326,7 +331,8 @@ class Trainer:
             if hist is None:
                 hist = jnp.zeros((query.shape[0], 1), jnp.int32)
             return fn(query, table, keep_mask, hist)
-        return self.rec.topk({"params": params}, batch, k, item_keep_mask=keep_mask)
+        return self.rec.topk({"params": params}, batch, k,
+                             item_keep_mask=keep_mask, method=method)
 
     def _eval_metrics(self, params, batch, keep_mask):
         cutoffs = tuple(int(c) for c in self.config["eval"]["cutoff"])

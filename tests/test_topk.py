@@ -45,6 +45,29 @@ def test_masked_topk_matches_numpy(rng):
     np.testing.assert_array_equal(np.asarray(items), expect)
 
 
+def test_approx_topk_contract(rng):
+    """eval.topk_method=approx: same masking contract as exact. On CPU
+    ``lax.approx_max_k`` lowers to an exact top-k, so this checks contract
+    + high recall, not the TPU speedup (benchmarked in bench.py --stress)."""
+    query, table, keep, hist = _setup(rng)
+    scores, items = masked_topk_scores(query, table, 8, keep, hist,
+                                       method="approx")
+    items_np = np.asarray(items)
+    assert not np.isin(items_np, [0, 3]).any()
+    assert not ((items_np >= 10) & (items_np < 20)).any()
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+    # recall vs exact top-k must meet the recall_target (0.95); on CPU the
+    # fallback is exact so this is 1.0, on TPU it is probabilistically >=0.95
+    _, exact_items = masked_topk_scores(query, table, 8, keep, hist)
+    exact_np = np.asarray(exact_items)
+    recall = np.mean([
+        len(set(items_np[b]) & set(exact_np[b])) / 8
+        for b in range(items_np.shape[0])
+    ])
+    assert recall >= 0.9
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
 def test_sharded_topk_parity(rng):
     query, table, keep, hist = _setup(rng, B=4, N=64, D=8)
