@@ -21,7 +21,7 @@ PY=python
 echo "[bootstrap $(date +%H:%M:%S)] A: preprocess"
 for pair in amazon-toys:toy amazon-beauty:beauty amazon-sport:sport yelp:yelp; do
   ds=${pair%%:*}; dom=${pair##*:}
-  if [ ! -f "dataset/$ds/$dom/inter.csv" ]; then
+  if [ ! -f "dataset/$ds/$dom/meta.npz" ]; then
     $PY scripts/preprocess.py \
       --from-seq2pat "/root/reference/dataset/$ds/$dom/seq2pat_data.pth" \
       --out "dataset/$ds/$dom" || exit 1

@@ -78,6 +78,13 @@ def stage_jobs(stage):
                 for s in CORE_SEEDS:
                     jobs.append(f"{bb}:{ds}::{seed_ov(s)}")
                     jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
+    elif stage == 6:
+        # GNN completes the paper-Table-2 backbone set (VERDICT r2 asked for
+        # FMLP/CL4SRec/GRU4Rec; the paper's claim also covers GNN)
+        for ds in ("amazon-toys", "yelp"):
+            for s in CORE_SEEDS:
+                jobs.append(f"GNN:{ds}::{seed_ov(s)}")
+                jobs.append(f"GNN:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
     elif stage == 5:
         for s in EXTRA_SEEDS:
             jobs.append(
@@ -94,7 +101,7 @@ def stage_jobs(stage):
 
 
 # MetaModel bilevel runs are ~5-10x a plain run; beauty is the biggest
-STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400}
+STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700}
 
 
 def main():

@@ -127,7 +127,7 @@ def main():
     L += ["## Per-backbone DR4SR (paper Table 2 claim)\n",
           "| backbone | dataset | seed | base | regen | Δ |",
           "|---|---|---|---|---|---|"]
-    for bb in ("FMLP", "CL4SRec", "GRU4Rec"):
+    for bb in ("FMLP", "CL4SRec", "GRU4Rec", "GNN"):
         for ds in ("amazon-toys", "yelp"):
             deltas = []
             for seed in (2023, 7):
