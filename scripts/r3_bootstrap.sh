@@ -79,7 +79,7 @@ if [ ! -f dataset/amazon-beauty/beauty/train_sw_ewm1p0_g0p0_both_a5b2K5_or2_ml3.
 fi
 
 echo "[bootstrap $(date +%H:%M:%S)] D: evidence matrix"
-$PY scripts/r3_matrix.py --stages 1,2,3,4,5 >> log/r3_matrix.log 2>&1
+$PY scripts/r3_matrix.py --stages 1,2,3,4,5,6 >> log/r3_matrix.log 2>&1
 echo "[bootstrap $(date +%H:%M:%S)] matrix done rc=$?"
 
 echo "[bootstrap $(date +%H:%M:%S)] E: summarize"
