@@ -20,6 +20,13 @@ def get_logger(log_path: Optional[str] = None, level: int = logging.INFO) -> log
     if log_path is not None:
         full = os.path.join("log", log_path) if not os.path.isabs(log_path) else log_path
         os.makedirs(os.path.dirname(full), exist_ok=True)
+        # one active file sink: drop handlers for other files so chunked
+        # in-process suite runs don't append later jobs to earlier logs
+        for h in list(logger.handlers):
+            if (isinstance(h, logging.FileHandler)
+                    and h.baseFilename != os.path.abspath(full)):
+                logger.removeHandler(h)
+                h.close()
         if not any(
             isinstance(h, logging.FileHandler) and h.baseFilename == os.path.abspath(full)
             for h in logger.handlers

@@ -30,7 +30,7 @@ done
 
 echo "[bootstrap $(date +%H:%M:%S)] B: base arms (8 jobs)"
 $PY scripts/run_suite.py --out results_r3_matrix.json --epochs 200 \
-  --timeout 2700 --jobs \
+  --timeout 2700 --chunk 4 --jobs \
   SASRec:amazon-toys::train.seed=2023 SASRec:amazon-toys::train.seed=7 \
   SASRec:yelp::train.seed=2023 SASRec:yelp::train.seed=7 \
   SASRec:amazon-sport::train.seed=2023 SASRec:amazon-sport::train.seed=7 \

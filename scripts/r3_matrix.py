@@ -109,6 +109,8 @@ def main():
     p.add_argument("--stages", default="1,2,3,4,5")
     p.add_argument("--out", default="results_r3_matrix.json")
     p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--chunk", type=int, default=4,
+                   help="same-dataset jobs per TPU client (run_suite --chunk)")
     args = p.parse_args()
 
     for stage in [int(s) for s in args.stages.split(",")]:
@@ -120,7 +122,8 @@ def main():
         rc = subprocess.call(
             [sys.executable, os.path.join(REPO, "scripts", "run_suite.py"),
              "--out", args.out, "--epochs", str(args.epochs),
-             "--timeout", str(STAGE_TIMEOUT[stage]), "--jobs"] + jobs,
+             "--timeout", str(STAGE_TIMEOUT[stage]),
+             "--chunk", str(args.chunk), "--jobs"] + jobs,
             cwd=REPO,
         )
         print(f"##### stage {stage} done rc={rc}", flush=True)

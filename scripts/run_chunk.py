@@ -1,0 +1,89 @@
+"""Run several suite jobs inside ONE process / ONE TPU client.
+
+Each axon TPU client pays a multi-minute init (tunnel handshake + first
+compile) and the suite adds a 75s cool-down between client exits; running a
+chunk of same-shape jobs (e.g. the seed pair of a base/regen arm) in one
+process amortizes both — seed-only variants of the same config reuse the
+in-process/persistent compile caches.
+
+Protocol: for every job spec (run_suite's ``Model:dataset:train_file[:ov]``)
+one flushed line is emitted:
+
+    RESULT\t<key>\t<json record>
+
+where ``key`` matches run_suite's cache key and the record is either
+``{"metrics": {...}, "wall_s": s}`` or ``{"error": "...", "tail": "..."}``.
+A job failure (including a dead TPU client) does not abort the chunk.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def job_key(model, dataset, train_file, overrides):
+    key = f"{model}/{dataset}{train_file or '_base'}"
+    if overrides:
+        key += "[" + overrides + "]"
+    return key
+
+
+def build_config(model, dataset, train_file, epochs, overrides):
+    """Mirror run.py's config assembly (load + train-file + CLI overrides)."""
+    import yaml
+
+    from dr4sr_tpu.config import load_config
+
+    config = load_config(model, dataset)
+    if train_file is not None:
+        config["data"]["train_file"] = train_file
+    cli: dict = {}
+    if epochs is not None:
+        cli.setdefault("train", {})["epochs"] = epochs
+    for ov in filter(None, overrides.split(",")):
+        key, _, value = ov.partition("=")
+        section, _, name = key.partition(".")
+        cli.setdefault(section, {})[name] = yaml.safe_load(value)
+    for section, kv in cli.items():
+        config.setdefault(section, {}).update(kv)
+    config["_cli_overrides"] = cli
+    return config
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--jobs", nargs="+", required=True)
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--root", type=str, default="dataset")
+    args = parser.parse_args()
+
+    from dr4sr_tpu import quickstart
+
+    for job in args.jobs:
+        parts = job.split(":", 3)
+        model, dataset, train_file = parts[0], parts[1], parts[2]
+        overrides = parts[3] if len(parts) > 3 else ""
+        key = job_key(model, dataset, train_file, overrides)
+        t0 = time.time()
+        try:
+            config = build_config(model, dataset, train_file, args.epochs,
+                                  overrides)
+            out = quickstart.run(config, root=args.root)
+            record = {"metrics": {k: float(v) for k, v in out.items()},
+                      "wall_s": round(time.time() - t0, 1)}
+        except Exception as exc:  # noqa: BLE001 - keep the chunk alive
+            tail = traceback.format_exc().splitlines()[-12:]
+            record = {"error": f"{type(exc).__name__}: {exc}",
+                      "tail": "\n".join(tail),
+                      "wall_s": round(time.time() - t0, 1)}
+        print(f"RESULT\t{key}\t{json.dumps(record)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
