@@ -155,3 +155,38 @@ def test_summarize_r3_tables(tmp_path):
                  "_sw_ewm1p0_g0p0_both_a5b2K5_or2_ml3", 42, "")
     p = sm.parse_key("SASRec/amazon-toys_base[train.seed=7]")
     assert p == ("SASRec", "amazon-toys", "_base", 7, "")
+
+
+def test_chunk_output_roundtrip():
+    """run_chunk's RESULT protocol parses back through run_suite, including
+    interleaved logging noise and a malformed line."""
+    rs = _load("run_suite")
+    rc = _load("run_chunk")
+    key = rc.job_key("SASRec", "amazon-toys", "", "train.seed=7")
+    assert key == "SASRec/amazon-toys_base[train.seed=7]"
+    stdout = "\n".join([
+        "[12:00:00] INFO epoch 3: ndcg@20=0.01",
+        f"RESULT\t{key}\t" + json.dumps({"metrics": {"ndcg@20": 0.04}}),
+        "RESULT\tbroken-line-without-json",
+        "RESULT\tMetaModel/yelp_regen[a=1]\t" + json.dumps({"error": "timeout"}),
+    ])
+    records = rs.parse_chunk_output(stdout)
+    assert records[key]["metrics"]["ndcg@20"] == 0.04
+    assert records["MetaModel/yelp_regen[a=1]"]["error"] == "timeout"
+    assert len(records) == 2
+    assert rs.parse_chunk_output(None) == {}
+
+
+def test_chunk_config_matches_run_py_semantics():
+    """run_chunk.build_config must mirror run.py: train_file override,
+    typed --set values, and the _cli_overrides record for MetaModel."""
+    rc = _load("run_chunk")
+    cfg = rc.build_config(
+        "SASRec", "amazon-toys", "_regen", 150,
+        "train.seed=7,model.dropout_rate=0.2",
+    )
+    assert cfg["data"]["train_file"] == "_regen"
+    assert cfg["train"]["epochs"] == 150
+    assert cfg["train"]["seed"] == 7
+    assert cfg["model"]["dropout_rate"] == 0.2  # yaml-typed, not str
+    assert cfg["_cli_overrides"]["train"]["seed"] == 7
