@@ -19,6 +19,10 @@ def zoo_setup(tmp_path_factory):
 
 
 def _run_model(root, base_cfg, model_name, extra_model_cfg=None, tmp=None):
+    if tmp is None:  # never litter the repo's saved/ from tests
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="zoo_workdir_")
     cfg = copy.deepcopy(base_cfg)
     cfg["model"]["model"] = model_name
     cfg["train"]["epochs"] = 1

@@ -10,12 +10,13 @@ from dr4sr_tpu.train.trainer import Trainer
 
 
 @pytest.fixture(scope="module")
-def trained(synthetic_root_module, synthetic_config_module):
+def trained(synthetic_root_module, synthetic_config_module, tmp_path_factory):
     cfg = copy.deepcopy(synthetic_config_module)
     cfg["train"]["epochs"] = 3
     cfg["model"]["dropout_rate"] = 0.1
     datasets = prepare_datasets(cfg, root=synthetic_root_module)
-    trainer = Trainer(cfg, datasets, workdir=None)
+    trainer = Trainer(cfg, datasets,
+                      workdir=str(tmp_path_factory.mktemp("e2e_workdir")))
     trainer.fit()
     return trainer
 
@@ -161,7 +162,7 @@ def test_analyzer_figures_rendered_during_fit(trained):
 
 
 def test_bf16_mixed_precision_training(synthetic_root_module,
-                                       synthetic_config_module):
+                                       synthetic_config_module, tmp_path):
     """train.precision: bf16 — fwd/bwd in bfloat16, f32 master weights.
     Must train to comparable quality as fp32 on the tiny synthetic task."""
     import jax
@@ -172,7 +173,7 @@ def test_bf16_mixed_precision_training(synthetic_root_module,
     cfg["train"]["precision"] = "bf16"
     cfg["model"]["dropout_rate"] = 0.1
     datasets = prepare_datasets(cfg, root=synthetic_root_module)
-    trainer = Trainer(cfg, datasets, workdir=None)
+    trainer = Trainer(cfg, datasets, workdir=str(tmp_path))
     trainer.fit()
 
     # master weights stayed f32 in the train state
