@@ -73,9 +73,11 @@ def stage_jobs(stage):
                 jobs.append(f"SASRec:{ds}::{seed_ov(s)}")
                 jobs.append(f"SASRec:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
     elif stage == 4:
-        for ds in ("amazon-toys", "yelp"):
-            for bb in BACKBONES:
-                for s in CORE_SEEDS:
+        # seed-2023 rows for every backbone/dataset first: if the round ends
+        # mid-stage, truncation costs seed REPLICATES, not paired coverage
+        for s in CORE_SEEDS:
+            for ds in ("amazon-toys", "yelp"):
+                for bb in BACKBONES:
                     jobs.append(f"{bb}:{ds}::{seed_ov(s)}")
                     jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
     elif stage == 6:
