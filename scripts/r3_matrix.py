@@ -87,6 +87,21 @@ def stage_jobs(stage):
             for s in CORE_SEEDS:
                 jobs.append(f"GNN:{ds}::{seed_ov(s)}")
                 jobs.append(f"GNN:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
+    elif stage == 7:
+        # round-4: backbone rows on the two sweep-arm datasets (VERDICT r3
+        # missing-#1 asked for "at least one backbone row each on beauty and
+        # sport"); seed-paired like stage 4
+        for s in CORE_SEEDS:
+            for ds in ("amazon-sport", "amazon-beauty"):
+                for bb in BACKBONES:
+                    jobs.append(f"{bb}:{ds}::{seed_ov(s)}")
+                    jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
+    elif stage == 8:
+        # round-4: 3rd seed for the two contested n=2 backbone cells
+        # (FMLP/toys negative at both seeds, CL4SRec/yelp sign-flips)
+        for bb, ds in (("FMLP", "amazon-toys"), ("CL4SRec", "yelp")):
+            jobs.append(f"{bb}:{ds}::{seed_ov(42)}")
+            jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(42)}")
     elif stage == 5:
         for s in EXTRA_SEEDS:
             jobs.append(
@@ -103,7 +118,8 @@ def stage_jobs(stage):
 
 
 # MetaModel bilevel runs are ~5-10x a plain run; beauty is the biggest
-STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700}
+STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700,
+                 7: 2700, 8: 2700}
 
 
 def main():

@@ -19,6 +19,7 @@ A job failure (including a dead TPU client) does not abort the chunk.
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 import traceback
@@ -56,14 +57,32 @@ def build_config(model, dataset, train_file, epochs, overrides):
     return config
 
 
+class JobTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):  # noqa: ARG001
+    raise JobTimeout()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--jobs", nargs="+", required=True)
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument("--root", type=str, default="dataset")
+    parser.add_argument("--timeout", type=int, default=0,
+                        help="per-job watchdog (s); 0 disables. Best-effort "
+                             "SIGALRM so one hung job cannot silently burn "
+                             "the whole pooled chunk budget (ADVICE r3): the "
+                             "handler fires between Python bytecodes, which "
+                             "covers the epoch loop, though not a wedged "
+                             "blocking C call inside a single XLA dispatch.")
     args = parser.parse_args()
 
     from dr4sr_tpu import quickstart
+
+    if args.timeout > 0:
+        signal.signal(signal.SIGALRM, _alarm)
 
     for job in args.jobs:
         parts = job.split(":", 3)
@@ -72,16 +91,25 @@ def main():
         key = job_key(model, dataset, train_file, overrides)
         t0 = time.time()
         try:
+            if args.timeout > 0:
+                signal.alarm(args.timeout)
             config = build_config(model, dataset, train_file, args.epochs,
                                   overrides)
             out = quickstart.run(config, root=args.root)
             record = {"metrics": {k: float(v) for k, v in out.items()},
+                      "wall_s": round(time.time() - t0, 1)}
+        except JobTimeout:
+            record = {"error": "timeout",
+                      "tail": f"per-job watchdog fired at {args.timeout}s",
                       "wall_s": round(time.time() - t0, 1)}
         except Exception as exc:  # noqa: BLE001 - keep the chunk alive
             tail = traceback.format_exc().splitlines()[-12:]
             record = {"error": f"{type(exc).__name__}: {exc}",
                       "tail": "\n".join(tail),
                       "wall_s": round(time.time() - t0, 1)}
+        finally:
+            if args.timeout > 0:
+                signal.alarm(0)
         print(f"RESULT\t{key}\t{json.dumps(record)}", flush=True)
 
 

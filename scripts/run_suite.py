@@ -77,7 +77,8 @@ def run_chunk(chunk, epochs, timeout):
     chunk timeout is recorded as a timeout.
     """
     cmd = [sys.executable, os.path.join(REPO, "scripts", "run_chunk.py"),
-           "--epochs", str(epochs), "--jobs"] + [spec for _, spec in chunk]
+           "--epochs", str(epochs), "--timeout", str(timeout),
+           "--jobs"] + [spec for _, spec in chunk]
     budget = timeout * len(chunk) + 120
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -123,18 +124,22 @@ def run_chunked(args, results):
         else:
             chunks.append([(key, job, dataset)])
 
+    dropped = []
     for chunk in chunks:
         keys = [k for k, _, _ in chunk]
         print(f"=== chunk: {keys} ===", flush=True)
         t0 = time.time()
         records = run_chunk([(k, j) for k, j, _ in chunk], args.epochs,
                             args.timeout)
-        if records and all(transient_backend_failure(r) for r in records.values()):
-            print("backend unavailable for chunk; retrying in 300s",
-                  flush=True)
+        # retry just the transiently-failed subset (a chunk whose TPU client
+        # wedges mid-way has mixed success + backend-init failures; ADVICE r3)
+        retry = [(k, j) for k, j, _ in chunk
+                 if transient_backend_failure(records.get(k, {}))]
+        if retry:
+            print(f"backend unavailable for {[k for k, _ in retry]}; "
+                  "retrying in 300s", flush=True)
             time.sleep(300)
-            records = run_chunk([(k, j) for k, j, _ in chunk], args.epochs,
-                                args.timeout)
+            records.update(run_chunk(retry, args.epochs, args.timeout))
         for key, record in records.items():
             record.setdefault("wall_s", round(time.time() - t0, 1))
             results[key] = record
@@ -144,7 +149,10 @@ def run_chunked(args, results):
         missing = [k for k in keys if k not in records]
         if missing:
             print(f"chunk died before: {missing} (left uncached)", flush=True)
+            dropped += missing
         time.sleep(75)  # axon cool-down between clients
+    if dropped:
+        print(f"PENDING (uncached, rerun to pick up): {dropped}", flush=True)
 
 
 def main():
