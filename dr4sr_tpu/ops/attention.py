@@ -355,7 +355,29 @@ def multihead_attention(
     causal: bool = True,
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU backends, jnp reference elsewhere."""
+    """Dispatch: Pallas kernel on TPU backends, jnp reference elsewhere.
+
+    When a context-parallel plan is installed (``model.context_parallel``,
+    trainer-wired via ``ops.ring_attention.set_context_plan``), sequence-
+    sharded encoder attention routes through the ppermute ring instead —
+    shapes whose length does not divide the mesh axis (e.g. KV-cached
+    decode steps) fall back to the local kernels below.
+    """
+    from dr4sr_tpu.ops import ring_attention as _ring
+
+    ctx = _ring.get_context_plan()
+    if ctx is not None:
+        mesh, axis_name = ctx
+        n = int(mesh.shape[axis_name])
+        if n > 1 and q.shape[2] == k.shape[2] and q.shape[2] % n == 0:
+            from dr4sr_tpu.parallel.mesh import DATA_AXIS
+
+            batch_axis = DATA_AXIS if DATA_AXIS in mesh.shape else None
+            return _ring.ring_attention(
+                q, k, v, key_padding_mask=key_padding_mask, causal=causal,
+                mesh=mesh, axis_name=axis_name, batch_axis=batch_axis,
+                in_jit=True,
+            )
     if _FORCE_REFERENCE.get():
         use_pallas = False
     if use_pallas is None:

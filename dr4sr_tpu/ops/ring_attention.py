@@ -30,6 +30,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 NEG = -1e30
 
+# Process-global context-parallel plan, mirroring the EP plan pattern
+# (parallel/ep.py): the trainer installs (mesh, axis_name) right before any
+# step traces when ``model.context_parallel > 1``; ``multihead_attention``
+# reads it at trace time and routes encoder attention through the ring.
+_CTX_PLAN: Optional[tuple] = None
+
+
+def set_context_plan(mesh: Optional[Mesh], axis_name: str = "model") -> None:
+    global _CTX_PLAN
+    _CTX_PLAN = None if mesh is None else (mesh, axis_name)
+
+
+def get_context_plan() -> Optional[tuple]:
+    return _CTX_PLAN
+
 
 def _block_update(q, k_blk, v_blk, mask_blk, m, l, acc, scale):
     """One online-softmax fold of a K/V block into the accumulator.
@@ -99,16 +114,24 @@ def ring_attention(
     *,
     mesh: Mesh,
     axis_name: str,
+    batch_axis: Optional[str] = None,
+    in_jit: bool = False,
 ) -> jax.Array:
-    """Context-parallel attention; L must divide the mesh axis size."""
+    """Context-parallel attention; L must divide the mesh axis size.
+
+    ``batch_axis``: mesh axis the batch dim is sharded over (composes CP
+    with DP — the ring body is batch-local so the data axis just rides
+    along). ``in_jit``: skip the eager ``device_put`` placement — under an
+    enclosing jit the shard_map specs alone define the partitioning.
+    """
     b, h, length, dh = q.shape
     n = mesh.shape[axis_name]
     assert length % n == 0, f"L={length} not divisible by {axis_name}={n}"
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, length), bool)
 
-    spec_qkv = P(None, None, axis_name, None)
-    spec_pad = P(None, axis_name)
+    spec_qkv = P(batch_axis, None, axis_name, None)
+    spec_pad = P(batch_axis, axis_name)
     body = functools.partial(
         _ring_body, axis_name=axis_name, axis_size=n, causal=causal
     )
@@ -117,8 +140,11 @@ def ring_attention(
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_pad),
         out_specs=spec_qkv,
     )
-    q = jax.device_put(q, NamedSharding(mesh, spec_qkv))
-    k = jax.device_put(k, NamedSharding(mesh, spec_qkv))
-    v = jax.device_put(v, NamedSharding(mesh, spec_qkv))
-    pad = jax.device_put(key_padding_mask, NamedSharding(mesh, spec_pad))
-    return fn(q, k, v, pad)
+    if not in_jit:
+        q = jax.device_put(q, NamedSharding(mesh, spec_qkv))
+        k = jax.device_put(k, NamedSharding(mesh, spec_qkv))
+        v = jax.device_put(v, NamedSharding(mesh, spec_qkv))
+        key_padding_mask = jax.device_put(
+            key_padding_mask, NamedSharding(mesh, spec_pad)
+        )
+    return fn(q, k, v, key_padding_mask)

@@ -65,6 +65,14 @@ class MeshPlan:
             return None
         return NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
+    def stacked_batch_sharding(self, ndim: int) -> Optional[NamedSharding]:
+        """Sharding for a [steps, batch, ...] stack of batches (the
+        device-resident multi-step dispatch path): the scan axis is
+        replicated, the batch axis shards over ``data``."""
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
     def replicated(self) -> Optional[NamedSharding]:
         if self.mesh is None:
             return None

@@ -127,13 +127,31 @@ class Trainer:
             )
             else None
         )
+        # context parallelism (model.context_parallel: N): sequence-shard
+        # encoder attention over the 'model' mesh axis through the ppermute
+        # ring (ops/ring_attention.py). N must equal the mesh's model-axis
+        # size; installed trace-time like the EP plan.
+        cp = int(config["model"].get("context_parallel", 1))
+        self._ctx_mesh = None
+        if cp > 1:
+            assert self.plan.mesh is not None and (
+                self.plan.mesh.shape.get("model", 1) == cp
+            ), (
+                f"model.context_parallel={cp} needs a mesh with a "
+                f"model axis of that size (got "
+                f"{None if self.plan.mesh is None else dict(self.plan.mesh.shape)})"
+            )
+            self._ctx_mesh = self.plan.mesh
 
     def _with_ep_plan(self, fn):
-        """Wrap a compiled step so the EP plan is current whenever it traces."""
+        """Wrap a compiled step so the EP + context-parallel plans are
+        current whenever it traces."""
+        from dr4sr_tpu.ops import ring_attention
         from dr4sr_tpu.parallel import ep
 
         def wrapped(*args, **kwargs):
             ep.set_plan(self._ep_mesh)
+            ring_attention.set_context_plan(self._ctx_mesh)
             return fn(*args, **kwargs)
 
         wrapped._jitted = fn  # lower()/HLO inspection (tests)
@@ -172,6 +190,9 @@ class Trainer:
         # pre-padded to the model-axis shard size, and embedding gathers
         # trace as shard_map psum gathers
         ep.set_plan(self._ep_mesh)
+        from dr4sr_tpu.ops import ring_attention
+
+        ring_attention.set_context_plan(self._ctx_mesh)
         seed = int(self.config["train"].get("seed", 2023)) if seed is None else seed
         rng = jax.random.PRNGKey(seed)
         sample = self._device_batch(
@@ -218,6 +239,28 @@ class Trainer:
         out = shard_batch(batch, self.plan)
         out.update(self.batch_extras)
         return out
+
+    def _device_batch_stack(
+        self, batches: list
+    ) -> Dict[str, jax.Array]:
+        """Stack N same-shape host batches into ``[N, batch, ...]`` device
+        arrays for the multi-step dispatch path (``train.steps_per_dispatch``):
+        axis 0 is the on-device ``lax.scan`` step axis (replicated), axis 1 is
+        the usual data-sharded batch axis. ``batch_extras`` (per-epoch device
+        constants, e.g. the GNN edge list) are deliberately NOT stacked — the
+        fused step receives them once as a separate argument."""
+        hosts = [self._host_transform(b, is_train=True) for b in batches]
+        if self.plan.mesh is not None:
+            hosts = [pad_batch_to_multiple(b, self.plan.data_size) for b in hosts]
+        stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
+        if self.plan.mesh is None:
+            return jax.device_put(stacked)
+        from dr4sr_tpu.parallel.mesh import put_global
+
+        return {
+            k: put_global(v, self.plan.stacked_batch_sharding(np.ndim(v)))
+            for k, v in stacked.items()
+        }
 
     # -------------------------------------------------------------- train step
     def _loss_fn(self, params, batch, rng):
@@ -285,6 +328,35 @@ class Trainer:
 
             self._compiled["train_step"] = self._with_ep_plan(step)
         return self._compiled["train_step"]
+
+    @property
+    def multi_train_step(self):
+        """N optimizer steps inside ONE jitted dispatch (device-resident
+        epoch; VERDICT r3 next-#3). At small batch sizes a single train step
+        is ~90% fixed per-dispatch overhead over the remote TPU tunnel
+        (BENCH_r03: 1.9 ms at bs256 vs 1.75 ms at bs2048); scanning N steps
+        per dispatch amortizes that overhead without changing the training
+        recipe. Bit-wise equal to N single steps at fixed rng (the host
+        pre-splits the same per-step keys the single-step path would); parity
+        is tested in tests/test_trainer_fused.py."""
+        if "multi_train_step" not in self._compiled:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def steps(state: TrainState, batches, rngs, extras):
+                def body(st, xs):
+                    batch, rng = xs
+                    merged = dict(batch)
+                    merged.update(extras)
+                    loss, grads = jax.value_and_grad(
+                        lambda p: self._loss_fn(p, merged, rng)
+                    )(st.params)
+                    return st.apply_gradients(grads=grads), loss
+
+                state, losses = jax.lax.scan(body, state, (batches, rngs))
+                return state, losses
+
+            self._compiled["multi_train_step"] = self._with_ep_plan(steps)
+        return self._compiled["multi_train_step"]
 
     # --------------------------------------------------------------- eval step
     def _topk_for_eval(self, params, batch, k, keep_mask):
@@ -385,21 +457,61 @@ class Trainer:
         if self.aug_from_original:
             # CL4SRec2: augmentation batches come from the original train file
             aug_iter = iter(self._original_loader(nepoch))
+        spd = int(self.config["train"].get("steps_per_dispatch", 1))
         # incremental on-device accumulation: stacking N queued scalars into
         # one N-arg program stalls the remote (axon) dispatch path
         total_loss = None
         n_steps = 0
+
+        def merged(batch):
+            nonlocal aug_iter
+            if aug_iter is None:
+                return batch
+            aug = next(aug_iter, None)
+            if aug is None:
+                aug_iter = iter(self._original_loader(nepoch))
+                aug = next(aug_iter)
+            batch = dict(batch)
+            batch["aug_in_item_id"] = aug["in_item_id"]
+            batch["aug_seqlen"] = aug["seqlen"]
+            batch["aug_valid"] = aug["valid"]
+            return batch
+
+        if spd > 1:
+            # device-resident multi-step dispatch: ship spd batches at once,
+            # run spd optimizer steps inside one jitted lax.scan with donated
+            # state. Per-step rng comes from the SAME host-side split sequence
+            # as the single-step path, so results are bit-identical.
+            pending = [merged(b) for b in loader]
+            i = 0
+            while i < len(pending):
+                group = pending[i : i + spd]
+                i += len(group)
+                if len(group) == 1:
+                    self._rng, step_rng = jax.random.split(self._rng)
+                    dbatch = self._device_batch(group[0], is_train=True)
+                    self.state, loss = self.train_step(
+                        self.state, dbatch, step_rng
+                    )
+                    group_sum = loss
+                else:
+                    rngs = []
+                    for _ in group:
+                        self._rng, r = jax.random.split(self._rng)
+                        rngs.append(r)
+                    dstack = self._device_batch_stack(group)
+                    self.state, losses = self.multi_train_step(
+                        self.state, dstack, jnp.stack(rngs), self.batch_extras
+                    )
+                    group_sum = losses.sum()
+                total_loss = (
+                    group_sum if total_loss is None else total_loss + group_sum
+                )
+                n_steps += len(group)
+            return float(total_loss) / max(n_steps, 1)
+
         for batch in loader:
-            if aug_iter is not None:
-                try:
-                    aug = next(aug_iter)
-                except StopIteration:
-                    aug_iter = iter(self._original_loader(nepoch))
-                    aug = next(aug_iter)
-                batch = dict(batch)
-                batch["aug_in_item_id"] = aug["in_item_id"]
-                batch["aug_seqlen"] = aug["seqlen"]
-                batch["aug_valid"] = aug["valid"]
+            batch = merged(batch)
             dbatch = self._device_batch(batch, is_train=True)
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, loss = self.train_step(self.state, dbatch, step_rng)
