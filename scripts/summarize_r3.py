@@ -113,6 +113,8 @@ def main():
           "| dataset | seed | regen val | DR4SR+ val | regen test | "
           "DR4SR+ test | Δtest |", "|---|---|---|---|---|---|---|"]
     wins = total = val_wins = val_total = 0
+    gated_wins = gated_losses = gated_total = 0
+    gated_delta_sum = 0.0
     for ds, tf in REGEN_FILE.items():
         for seed in (2023, 7, 42, 2024, 17):
             r, rv = cell(res, "SASRec", ds, tf, seed)
@@ -126,20 +128,35 @@ def main():
             if rv is not None and mv is not None:
                 val_total += 1
                 val_wins += mv >= rv
+                if d is not None:
+                    # val-gated deployment: use meta only where its val >=
+                    # regen's val, else keep regen (delta 0 for that cell)
+                    gated_total += 1
+                    gd = d if mv >= rv else 0.0
+                    gated_delta_sum += gd
+                    gated_wins += gd > 0
+                    gated_losses += gd < 0
             L.append(f"| {ds} | {seed} | {fmt(rv)} | {fmt(mv)} | {fmt(r)} | "
                      f"{fmt(m)} | {'—' if d is None else f'{d:+.4f}'} |")
-    L.append(f"\nDR4SR+ wins **{wins}/{total}** seed-paired test cells; "
-             f"val ordering DR4SR+ >= regen holds in **{val_wins}/{val_total}** "
-             "cells.\n")
+    if gated_total:
+        L.append(
+            f"\n**Val-gated deployment** (deploy DR4SR+ only where meta-val >= "
+            f"regen-val, else keep regen — the criterion a practitioner can "
+            f"actually apply): improves **{gated_wins}/{gated_total}** cells, "
+            f"regresses **{gated_losses}/{gated_total}**, mean test Δ "
+            f"**{gated_delta_sum / gated_total:+.4f}**.")
+    L.append(f"\nUngated: DR4SR+ wins **{wins}/{total}** seed-paired test "
+             f"cells; val ordering DR4SR+ >= regen holds in "
+             f"**{val_wins}/{val_total}** cells.\n")
 
     # ---------------- per-backbone ----------------
     L += ["## Per-backbone DR4SR (paper Table 2 claim)\n",
           "| backbone | dataset | seed | base | regen | Δ |",
           "|---|---|---|---|---|---|"]
     for bb in ("FMLP", "CL4SRec", "GRU4Rec", "GNN"):
-        for ds in ("amazon-toys", "yelp"):
+        for ds in ("amazon-toys", "yelp", "amazon-sport", "amazon-beauty"):
             deltas = []
-            for seed in (2023, 7):
+            for seed in (2023, 7, 42):
                 b, _ = cell(res, bb, ds, "_base", seed)
                 r, _ = cell(res, bb, ds, REGEN_FILE[ds], seed)
                 if b is None and r is None:
