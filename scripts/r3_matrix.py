@@ -90,12 +90,17 @@ def stage_jobs(stage):
     elif stage == 7:
         # round-4: backbone rows on the two sweep-arm datasets (VERDICT r3
         # missing-#1 asked for "at least one backbone row each on beauty and
-        # sport"); seed-paired like stage 4
-        for s in CORE_SEEDS:
-            for ds in ("amazon-sport", "amazon-beauty"):
-                for bb in BACKBONES:
-                    jobs.append(f"{bb}:{ds}::{seed_ov(s)}")
-                    jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
+        # sport"). Seed 2023 first — wall-clock budget; stage 9 adds the
+        # seed-7 pairs when time allows.
+        for ds in ("amazon-sport", "amazon-beauty"):
+            for bb in BACKBONES:
+                jobs.append(f"{bb}:{ds}::{seed_ov(2023)}")
+                jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(2023)}")
+    elif stage == 9:
+        for ds in ("amazon-sport", "amazon-beauty"):
+            for bb in BACKBONES:
+                jobs.append(f"{bb}:{ds}::{seed_ov(7)}")
+                jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(7)}")
     elif stage == 8:
         # round-4: 3rd seed for the two contested n=2 backbone cells
         # (FMLP/toys negative at both seeds, CL4SRec/yelp sign-flips)
@@ -119,7 +124,7 @@ def stage_jobs(stage):
 
 # MetaModel bilevel runs are ~5-10x a plain run; beauty is the biggest
 STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700,
-                 7: 2700, 8: 2700}
+                 7: 2700, 8: 2700, 9: 2700}
 
 
 def main():
