@@ -96,6 +96,10 @@ def main():
     parser.add_argument("--patience", type=int, default=10)
     parser.add_argument("--regen_epochs", type=int, default=40)
     parser.add_argument("--n_jobs", type=int, default=4)
+    parser.add_argument("--extra_set", action="append", default=[],
+                        help="extra --set overrides for the downstream train "
+                             "(e.g. train.steps_per_dispatch=16 — bit-parity "
+                             "with the per-step loop, tests/test_trainer_fused.py)")
     args = parser.parse_args()
 
     with open(os.path.join(REPO, "configs", f"{args.dataset}.yaml")) as f:
@@ -201,6 +205,8 @@ def main():
                "--train-file", f"_sw_{name}",
                "--set", f"train.early_stop_patience={args.patience}",
                "--set", f"train.seed={seed}"]
+        for ov in args.extra_set:
+            cmd += ["--set", ov]
         rc, out = run_tpu(os.path.join(logdir, f"train_{name}.log"), 600, 3600, cmd)
         metrics = parse_final_dict(out)
         if metrics is None:
