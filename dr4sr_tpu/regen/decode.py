@@ -164,6 +164,133 @@ def greedy_decode_batch_cached(
     return buf
 
 
+@functools.partial(
+    jax.jit, static_argnames=("generator", "max_len", "gamma", "beam_width")
+)
+def beam_decode_batch_cached(
+    generator: Generator,
+    variables,
+    src: jax.Array,  # [B, Ls] SOS/EOS-framed, 0-padded
+    condition: jax.Array,  # [B] int condition index per lane
+    rng: jax.Array,
+    max_len: int = 25,
+    gamma: float = 0.0,
+    beam_width: int = 4,
+) -> jax.Array:
+    """Width-W batched beam search generalizing
+    :func:`greedy_decode_batch_cached` (BASELINE north-star "batched hybrid
+    inference (beam decode)"; the reference's loop it generalizes is the
+    greedy ``3.Hybrid_inference.py:185-217``). Beams ride as W extra lanes
+    per sequence through the SAME per-layer KV caches ([nl, B·W, T, D]);
+    each step renormalizes log-probs over the allowed (restrictive/
+    generative) catalog mask, expands W·V candidates, keeps the top W, and
+    reorders caches by parent beam. ``beam_width=1`` is bit-identical to
+    the greedy path (tests/test_beam_decode.py): same masked argmax, same
+    per-step rng sequence, same dead→EOS / done→PAD forcing.
+
+    Returns the best-scoring beam's buffer [B, max_len] (SOS first,
+    EOS-terminated, 0 after termination)."""
+    b = src.shape[0]
+    w = beam_width
+    vocab = generator.num_items + 2
+    sos, eos = generator.sos, generator.eos
+    nl = generator.num_layers
+    d = generator.embed_dim
+
+    mem_k, mem_v = generator.apply(
+        variables, src, condition, method=Generator.decode_state
+    )
+    # tile the per-lane memory per beam: beams of lane i occupy flat rows
+    # [i*w, (i+1)*w) so the cache layout matches buf.reshape(b*w, ...)
+    mem_k = jnp.repeat(mem_k, w, axis=1)
+    mem_v = jnp.repeat(mem_v, w, axis=1)
+    memory_valid = jnp.repeat(src != 0, w, axis=0)
+
+    in_src = jnp.zeros((b, vocab), bool).at[
+        jnp.arange(b)[:, None], src
+    ].set(True)
+    in_src = in_src.at[:, 0].set(False)  # PAD never allowed
+
+    cache_k = jnp.zeros((nl, b * w, max_len, d), mem_k.dtype)
+    cache_v = jnp.zeros_like(cache_k)
+
+    buf = jnp.zeros((b, w, max_len), jnp.int32).at[:, :, 0].set(sos)
+    emitted = jnp.zeros((b, w, vocab), bool).at[:, :, sos].set(True)
+    done = jnp.zeros((b, w), bool)
+    # identical SOS prefixes: only beam 0 starts live, so the first
+    # expansion yields W distinct continuations instead of W duplicates
+    scores = jnp.where(jnp.arange(w) == 0, 0.0, NEG) * jnp.ones((b, 1))
+
+    def body(i, carry):
+        buf, emitted, done, scores, rng, cache_k, cache_v = carry
+        tok = jax.lax.dynamic_slice_in_dim(buf, i, 1, axis=2)[:, :, 0]
+        logits, cache_k, cache_v = generator.apply(
+            variables, tok.reshape(b * w), i, cache_k, cache_v,
+            mem_k, mem_v, memory_valid,
+            method=Generator.cached_decode_step,
+        )
+        logits = logits.reshape(b, w, vocab)
+        rng, r = jax.random.split(rng)
+        use_generative = (
+            (jax.random.uniform(r, (b,)) < gamma) & (i > 1)
+            if gamma > 0.0
+            else jnp.zeros(b, bool)
+        )
+        restr = in_src[:, None] & ~emitted
+        gen = ~emitted
+        gen = gen.at[:, :, 0].set(False)
+        allowed = jnp.where(use_generative[:, None, None], gen, restr)
+        dead = ~jnp.any(allowed, axis=-1)
+        logp = jax.nn.log_softmax(
+            jnp.where(allowed, logits.astype(jnp.float32), NEG), axis=-1
+        )
+        logp = jnp.where(allowed, logp, NEG)
+        cand = scores[..., None] + logp  # [b, w, V]
+        # done beams continue with PAD, dead (exhausted-mask) beams with
+        # EOS — both carry their score unchanged, as the single forced
+        # candidate of that beam (greedy's where(done, 0, where(dead, eos)))
+        forced = done | dead
+        forced_tok = jnp.where(done, 0, eos)
+        forced_cand = jnp.where(
+            jax.nn.one_hot(forced_tok, vocab, dtype=bool),
+            scores[..., None], NEG,
+        )
+        cand = jnp.where(forced[..., None], forced_cand, cand)
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(b, w * vocab), w)
+        parent = top_idx // vocab  # [b, w]
+        nxt = (top_idx % vocab).astype(jnp.int32)
+
+        def by_parent(x):
+            idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        buf = by_parent(buf)
+        emitted = by_parent(emitted)
+        done = by_parent(done)
+        ck = cache_k.reshape(nl, b, w, max_len, d)
+        cv = cache_v.reshape(nl, b, w, max_len, d)
+        pidx = parent[None, :, :, None, None]
+        cache_k = jnp.take_along_axis(ck, pidx, axis=2).reshape(
+            nl, b * w, max_len, d)
+        cache_v = jnp.take_along_axis(cv, pidx, axis=2).reshape(
+            nl, b * w, max_len, d)
+
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, nxt[:, :, None], i + 1, axis=2
+        )
+        emitted = emitted.at[
+            jnp.arange(b)[:, None], jnp.arange(w)[None, :], nxt
+        ].set(True)
+        done = done | (nxt == eos)
+        return buf, emitted, done, top_scores, rng, cache_k, cache_v
+
+    buf, _, _, scores, _, _, _ = jax.lax.fori_loop(
+        0, max_len - 1, body, (buf, emitted, done, scores, rng, cache_k, cache_v)
+    )
+    best = jnp.argmax(scores, axis=1)
+    return jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]
+
+
 def decode_dataset(
     generator: Generator,
     variables,
@@ -177,6 +304,7 @@ def decode_dataset(
     mesh_plan=None,
     use_kv_cache: bool = True,
     precision: str = "fp32",
+    beam_width: int = 1,
 ) -> List[List[int]]:
     """Decode every sequence under every condition; returns raw regenerated
     item lists (SOS/EOS stripped). Equivalent of the reference's
@@ -211,16 +339,24 @@ def decode_dataset(
             if pad_rows:
                 chunk = np.concatenate([chunk, np.zeros((pad_rows, max_src), np.int32)])
             rng, r = jax.random.split(rng)
-            decode_fn = greedy_decode_batch_cached if use_kv_cache else greedy_decode_batch
-            buf = decode_fn(
-                generator,
-                variables,
-                put(chunk),
-                put(np.full((batch_size,), cond, np.int32)),
-                r,
-                max_len=max_len,
-                gamma=gamma,
-            )
+            if beam_width > 1:
+                buf = beam_decode_batch_cached(
+                    generator, variables, put(chunk),
+                    put(np.full((batch_size,), cond, np.int32)), r,
+                    max_len=max_len, gamma=gamma, beam_width=beam_width,
+                )
+            else:
+                decode_fn = (greedy_decode_batch_cached if use_kv_cache
+                             else greedy_decode_batch)
+                buf = decode_fn(
+                    generator,
+                    variables,
+                    put(chunk),
+                    put(np.full((batch_size,), cond, np.int32)),
+                    r,
+                    max_len=max_len,
+                    gamma=gamma,
+                )
             buf = np.asarray(buf)[: batch_size - pad_rows if pad_rows else batch_size]
             body = buf[:, 1:]  # skip SOS
             stop = (body == eos) | (body == 0)

@@ -201,15 +201,18 @@ def hybrid_inference(
     max_len: int = 25,
     gamma: float = 0.0,
     seed: int = 0,
+    beam_width: int = 1,
 ) -> Tuple[List[list], Dict[str, float]]:
     """Batched decode of the whole training set under every condition.
-    Returns (regenerated rows, stats)."""
+    Returns (regenerated rows, stats). ``beam_width>1`` switches the greedy
+    decode to batched beam search (regen/decode.py)."""
     logger = get_logger()
     sequences = train_sequences_from_rows(train_rows)
     t0 = time.time()
     decoded = decode_dataset(
         generator, variables, sequences, k_conditions,
         batch_size=batch_size, max_len=max_len, gamma=gamma, seed=seed,
+        beam_width=beam_width,
     )
     dt = time.time() - t0
     rows = regenerated_rows(decoded, train_rows.max_seq_len)

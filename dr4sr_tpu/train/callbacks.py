@@ -76,7 +76,11 @@ class EarlyStopping:
             self._counter = 0
             self.best_params = jax.device_get(params)
             self.logger.info(f"{self.monitor} improved. Best value: {value:.4f}")
-            if self.save_dir is not None:
+            # single-writer rule under --multihost (every process sees the
+            # same replicated params + metrics, so process 0 writes the best
+            # checkpoint and the rest only keep the in-memory snapshot);
+            # the reference's own ddp TODO, ``utils/callbacks.py:130``
+            if self.save_dir is not None and jax.process_index() == 0:
                 save_checkpoint(
                     self.checkpoint_path, self.best_params, config,
                     self.model_name, epoch, {self.monitor: value},

@@ -38,6 +38,21 @@ class MetaTrainer(Trainer):
         # the sub-model trains on the same (regenerated) data/files
         sub_config["data"] = copy.deepcopy(config["data"])
         self.meta_config = config
+        # bilevel + context parallelism is rejected up front: the outer
+        # step's HVPs run forward-mode (jvp-of-grad) under the jnp
+        # reference-attention override, but an installed CP plan would route
+        # attention through the shard_map/ppermute ring — a path with no
+        # tested jvp story, and skipping the ring under force_reference
+        # would silently compute local attention on sequence SHARDS
+        # (ADVICE r4 low-#2)
+        if int(sub_config["model"].get("context_parallel", 1)) > 1:
+            raise ValueError(
+                "MetaModel (bilevel) does not support "
+                "model.context_parallel>1: hypergradient HVPs are "
+                "forward-mode and the ring-attention path is reverse-mode "
+                "only. Train the sub-model with CP directly, or drop CP "
+                "for the bilevel run."
+            )
         super().__init__(sub_config, datasets, mesh_plan=mesh_plan, workdir=workdir)
         self.model_name = "MetaModel"
 
@@ -162,6 +177,42 @@ class MetaTrainer(Trainer):
         return self._compiled["weighted_train_step"]
 
     @property
+    def multi_weighted_train_step(self):
+        """N weighted inner steps inside ONE jitted ``lax.scan`` dispatch —
+        the MetaTrainer counterpart of ``Trainer.multi_train_step`` (VERDICT
+        r4 next-#3: DR4SR+ is the slowest, most-repeated loop in every
+        round's evidence matrix and dispatched per step until round 5).
+        Groups are bounded by the ``interval`` boundary in
+        ``training_epoch`` so meta_params are constant within a scan; the
+        host pre-splits the same per-step rng keys the per-step path would
+        consume, so the fused path is bit-identical (tests/
+        test_meta_fused.py)."""
+        if "multi_weighted_train_step" not in self._compiled:
+
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def steps(state, meta_params, batches, rngs, extras):
+                def body(st, xs):
+                    batch, rng = xs
+                    merged = dict(batch)
+                    merged.update(extras)
+                    loss, grads = jax.value_and_grad(
+                        lambda p: self._weighted_loss(
+                            p, meta_params, merged, rng
+                        )
+                    )(st.params)
+                    return st.apply_gradients(grads=grads), loss
+
+                state, losses = jax.lax.scan(body, state, (batches, rngs))
+                return state, losses
+
+            self._compiled["multi_weighted_train_step"] = self._with_ep_plan(
+                steps
+            )
+        return self._compiled["multi_weighted_train_step"]
+
+    @property
     def outer_step(self):
         if "outer_step" not in self._compiled:
 
@@ -240,12 +291,83 @@ class MetaTrainer(Trainer):
         return self._compiled["weight_stats"]
 
     # ------------------------------------------------------------ epoch loop
+    def _maybe_outer_step(self, meta_loader, warm: bool):
+        """Outer implicit-gradient update when the global step counter sits
+        on an ``interval`` boundary (reference ``model/metamodel.py:104-109``
+        fires the outer loop every ``interval`` inner steps after warmup)."""
+        if warm or self.step_counter % self.interval != 0:
+            return
+        val_b = self._device_batch(meta_loader.sample_batch(), is_train=True)
+        train_b = self._device_batch(meta_loader.sample_batch(), is_train=True)
+        self._rng, r2 = jax.random.split(self._rng)
+        self.meta_params, self.meta_opt_state = self.outer_step(
+            self.state.params, self.meta_params, self.meta_opt_state,
+            val_b, train_b, r2,
+        )
+
     def training_epoch(self, nepoch: int) -> float:
         assert self.state is not None
         loader = self.train_data.get_loader(seed=nepoch)
         meta_loader = self.train_data.get_loader(seed=nepoch + 4099)
         total_loss, n_steps = None, 0
         warm = nepoch <= self.warmup_epoch
+        spd = int(self.config["train"].get("steps_per_dispatch", 1))
+        if spd > 1:
+            # fused dispatch (VERDICT r4 next-#3): scan groups of inner
+            # steps on device, bounded so no group crosses an interval
+            # boundary — the outer step between groups then sees exactly
+            # the state/meta_params the per-step loop would. Same host-side
+            # rng split sequence → bit-identical (tests/test_meta_fused.py).
+            import itertools
+
+            it = iter(loader)
+            while True:
+                take = spd
+                if not warm:
+                    to_boundary = self.interval - (
+                        self.step_counter % self.interval
+                    )
+                    take = min(spd, to_boundary)
+                group = list(itertools.islice(it, take))
+                if not group:
+                    break
+                rngs = []
+                for _ in group:
+                    self._rng, r = jax.random.split(self._rng)
+                    rngs.append(r)
+                if len(group) == 1:
+                    dbatch = self._device_batch(group[0], is_train=True)
+                    if warm:
+                        self.state, loss = self.train_step(
+                            self.state, dbatch, rngs[0]
+                        )
+                    else:
+                        self.state, loss = self.weighted_train_step(
+                            self.state, self.meta_params, dbatch, rngs[0]
+                        )
+                    group_sum = loss
+                else:
+                    dstack = self._device_batch_stack(group)
+                    if warm:
+                        self.state, losses = self.multi_train_step(
+                            self.state, dstack, jnp.stack(rngs),
+                            self.batch_extras,
+                        )
+                    else:
+                        self.state, losses = self.multi_weighted_train_step(
+                            self.state, self.meta_params, dstack,
+                            jnp.stack(rngs), self.batch_extras,
+                        )
+                    group_sum = losses.sum()
+                total_loss = (
+                    group_sum if total_loss is None else total_loss + group_sum
+                )
+                n_steps += len(group)
+                self.step_counter += len(group)
+                self._maybe_outer_step(meta_loader, warm)
+            return self._finish_epoch(
+                total_loss, n_steps, warm, meta_loader
+            )
         for batch in loader:
             dbatch = self._device_batch(batch, is_train=True)
             self._rng, r = jax.random.split(self._rng)
@@ -258,14 +380,10 @@ class MetaTrainer(Trainer):
             total_loss = loss if total_loss is None else total_loss + loss
             n_steps += 1
             self.step_counter += 1
-            if not warm and self.step_counter % self.interval == 0:
-                val_b = self._device_batch(meta_loader.sample_batch(), is_train=True)
-                train_b = self._device_batch(meta_loader.sample_batch(), is_train=True)
-                self._rng, r2 = jax.random.split(self._rng)
-                self.meta_params, self.meta_opt_state = self.outer_step(
-                    self.state.params, self.meta_params, self.meta_opt_state,
-                    val_b, train_b, r2,
-                )
+            self._maybe_outer_step(meta_loader, warm)
+        return self._finish_epoch(total_loss, n_steps, warm, meta_loader)
+
+    def _finish_epoch(self, total_loss, n_steps, warm, meta_loader):
         if not warm:
             probe = self._device_batch(meta_loader.sample_batch(), is_train=True)
             self._rng, r3 = jax.random.split(self._rng)

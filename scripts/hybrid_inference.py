@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--patterns_name", type=str, default="patterns")
     parser.add_argument("--no_patterns", action="store_true",
                         help="assemble original+regen only (drop pattern rows)")
+    parser.add_argument("--beam_width", type=int, default=1,
+                        help="beam search width for the decode (1 = greedy, "
+                             "the reference's behavior; >1 generalizes the "
+                             "KV-cached loop to batched beam search)")
     parser.add_argument("--regen_cache", type=str, default=None,
                         help="pickle path caching the decoded sequences; decode "
                              "is skipped when it already exists")
@@ -82,6 +86,8 @@ def main():
     decode_params = {"ckpt_name": args.ckpt_name, "K": args.K,
                      "max_len": args.max_len, "gamma": args.gamma,
                      "seed": args.seed}
+    if args.beam_width != 1:  # keep pre-beam cache sidecars valid
+        decode_params["beam_width"] = args.beam_width
     sidecar = (args.regen_cache + ".params.json") if args.regen_cache else None
 
     if args.regen_cache and os.path.exists(args.regen_cache):
@@ -103,7 +109,7 @@ def main():
         regen_rows, stats = hybrid_inference(
             gen, variables, train, k_conditions=args.K,
             batch_size=args.batch_size, max_len=args.max_len, gamma=args.gamma,
-            seed=args.seed,
+            seed=args.seed, beam_width=args.beam_width,
         )
         if args.regen_cache:
             with open(args.regen_cache, "wb") as f:

@@ -107,6 +107,22 @@ def stage_jobs(stage):
         for bb, ds in (("FMLP", "amazon-toys"), ("CL4SRec", "yelp")):
             jobs.append(f"{bb}:{ds}::{seed_ov(42)}")
             jobs.append(f"{bb}:{ds}:{REGEN_FILE[ds]}:{seed_ov(42)}")
+    elif stage == 10:
+        # round-5: GNN rows on sport/beauty (VERDICT r4 missing-#1 — the
+        # Table-2 matrix had no GNN cells on these two datasets at all)
+        for ds in ("amazon-sport", "amazon-beauty"):
+            for s in CORE_SEEDS:
+                jobs.append(f"GNN:{ds}::{seed_ov(s)}")
+                jobs.append(f"GNN:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
+    elif stage == 11:
+        # round-5: GNN on the r4 val-selected swept arms for toys/yelp —
+        # the builder's stated follow-up for the GNN-negative result
+        # (plain _regen hurt GNN on toys/yelp; do the winner arms too?)
+        for ds in ("amazon-toys", "yelp"):
+            for s in CORE_SEEDS:
+                jobs.append(
+                    f"GNN:{ds}:_sw_ew1p0_g0p0_both_a5b2K5_or2_ml3:{seed_ov(s)}"
+                )
     elif stage == 5:
         for s in EXTRA_SEEDS:
             jobs.append(
@@ -124,7 +140,7 @@ def stage_jobs(stage):
 
 # MetaModel bilevel runs are ~5-10x a plain run; beauty is the biggest
 STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700,
-                 7: 2700, 8: 2700, 9: 2700}
+                 7: 2700, 8: 2700, 9: 2700, 10: 2700, 11: 2700}
 
 
 def main():

@@ -102,6 +102,18 @@ def main():
             record = {"error": "timeout",
                       "tail": f"per-job watchdog fired at {args.timeout}s",
                       "wall_s": round(time.time() - t0, 1)}
+            # the interrupted dispatch may have wedged this process's TPU
+            # client; running the rest of the chunk against it would burn
+            # up to timeout seconds each on serial failures (ADVICE r4
+            # low-#5). Emit this record and abort — run_suite leaves the
+            # unreached jobs uncached and reports them PENDING, so a rerun
+            # picks them up in a fresh client.
+            print(f"RESULT\t{key}\t{json.dumps(record)}", flush=True)
+            print("CHUNK_ABORT: job timeout — remaining jobs left uncached "
+                  "for a fresh client", flush=True)
+            if args.timeout > 0:
+                signal.alarm(0)
+            sys.exit(3)
         except Exception as exc:  # noqa: BLE001 - keep the chunk alive
             tail = traceback.format_exc().splitlines()[-12:]
             record = {"error": f"{type(exc).__name__}: {exc}",

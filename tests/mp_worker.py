@@ -86,6 +86,11 @@ def main():
     parser.add_argument("--coordinator", required=True)
     parser.add_argument("--num-processes", type=int, required=True)
     parser.add_argument("--process-id", type=int, required=True)
+    parser.add_argument("--ckpt-dir", default=None,
+                        help="exercise the single-writer checkpoint rule: "
+                             "every process calls EarlyStopping on the same "
+                             "path; only process 0 may write (VERDICT r4 "
+                             "weak-#6)")
     args = parser.parse_args()
 
     import jax
@@ -108,12 +113,33 @@ def main():
 
     plan = MeshPlan(mesh=create_mesh(data=args.num_processes))
     chk, loss = run_training(plan)
+    wrote = None
+    if args.ckpt_dir:
+        # every process runs the identical callback on the identical path —
+        # the single-writer guard must let exactly process 0 create the file
+        import jax.numpy as jnp
+
+        from dr4sr_tpu.train.callbacks import EarlyStopping
+
+        # per-process dir: if the guard failed, process 1 would create a
+        # file under p1/ — existence there is unambiguous evidence of a
+        # second writer (a shared path can't distinguish who wrote)
+        cb = EarlyStopping(
+            monitor="ndcg@20", patience=3, model_name="SASRec",
+            dataset_name="mp",
+            save_dir=os.path.join(args.ckpt_dir, f"p{args.process_id}"),
+            filename="best.ckpt",
+        )
+        cb({"w": jnp.full((3,), 1.0 + args.process_id * 0.0)},
+           {"model": {"model": "SASRec"}}, 0, {"ndcg@20": 0.5})
+        wrote = os.path.exists(cb.checkpoint_path)
     print("RESULT " + json.dumps({
         "process_id": args.process_id,
         "num_processes": jax.process_count(),
         "global_devices": jax.device_count(),
         "checksum": chk,
         "loss": loss,
+        "ckpt_exists": wrote,
     }), flush=True)
 
 
