@@ -78,18 +78,31 @@ def _flash_kernel(
     qi = pl.program_id(2)
     block_q = q_ref.shape[2]
     dh = q_ref.shape[3]
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, Dh]
+    # bf16 inputs (train.precision: bf16) keep bf16 MATMUL OPERANDS with f32
+    # accumulation — the MXU's native mode, ~4x the f32-operand rate on v5e.
+    # f32 inputs keep the original all-f32 arithmetic bit-for-bit (parity
+    # tests). Softmax statistics are always f32 on the VPU.
+    bf16 = q_ref.dtype == jnp.bfloat16
+    if bf16:
+        q = q_ref[0, 0]  # [bq, Dh] bf16; scale applied to f32 scores below
+    else:
+        q = q_ref[0, 0].astype(jnp.float32) * scale
 
     num_kb = lk // block_k
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        kblk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        vblk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        kblk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        vblk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        if not bf16:
+            kblk = kblk.astype(jnp.float32)
+            vblk = vblk.astype(jnp.float32)
         s = jax.lax.dot_general(
             q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        )  # [bq, bk] f32
+        if bf16:
+            s = s * scale
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
         pad = mask_ref[0, 0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
         invalid = pad > 0
@@ -101,15 +114,24 @@ def _flash_kernel(
         p = jnp.exp(s - m_cur)
         p = jnp.where(invalid, 0.0, p)
         l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p.astype(jnp.bfloat16) if bf16 else p
         acc = acc * alpha + jax.lax.dot_general(
-            p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pv, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return acc, m_cur, l_cur
 
     acc0 = jnp.zeros((block_q, dh), jnp.float32)
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    if causal:
+        # key blocks entirely above the causal diagonal of this q block are
+        # fully masked — skip them (halves the S² work; round-5 MFU work).
+        # fori_loop takes a traced upper bound (lowers to a while loop).
+        last_row = qi * block_q + block_q - 1
+        num_kb_eff = jnp.minimum(num_kb, last_row // block_k + 1)
+    else:
+        num_kb_eff = num_kb
+    acc, _, l = jax.lax.fori_loop(0, num_kb_eff, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
@@ -207,8 +229,16 @@ def _flash_bwd_kernel(
     lq = q_ref.shape[2]
     lk = k_ref.shape[2]
     dh = q_ref.shape[3]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # same dtype policy as the forward kernel: bf16 inputs keep bf16 MXU
+    # operands (f32 accumulate), f32 inputs keep the original all-f32 math.
+    # dq/dk/dv output refs are ALWAYS f32 (out_shape below): dk/dv
+    # accumulate across q-blocks, which would lose precision in bf16.
+    bf16 = q_ref.dtype == jnp.bfloat16
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    if not bf16:
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
     pad = (mask_ref[0, 0, :].reshape(1, lk) > 0)
 
     dk_ref[0, 0] = jnp.zeros((lk, dh), dk_ref.dtype)
@@ -218,9 +248,13 @@ def _flash_bwd_kernel(
 
     def body(qb, _):
         qs = qb * block_q
-        q = q_ref[0, 0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(qs, block_q), :]
+        do = do_ref[0, 0, pl.ds(qs, block_q), :]
         o = o_ref[0, 0, pl.ds(qs, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        do_f32 = do.astype(jnp.float32)
+        if not bf16:
+            q = q.astype(jnp.float32)
+            do = do_f32
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -235,24 +269,26 @@ def _flash_bwd_kernel(
         e = jnp.exp(s - m)
         e = jnp.where(invalid, 0.0, e)
         denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-        p = e / denom  # [bq, Lk]
+        p = e / denom  # [bq, Lk] f32
+        pm = p.astype(jnp.bfloat16) if bf16 else p
 
         dv_ref[0, 0] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pm, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, Lk]
-        d_row = jnp.sum(do * o, axis=-1, keepdims=True)  # [bq, 1]
+        )  # [bq, Lk] f32
+        d_row = jnp.sum(do_f32 * o, axis=-1, keepdims=True)  # [bq, 1]
         ds = p * (dp - d_row)
+        dsm = ds.astype(jnp.bfloat16) if bf16 else ds
         dq_ref[0, 0, pl.ds(qs, block_q), :] = (
             jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                dsm, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
         ).astype(dq_ref.dtype)
         dk_ref[0, 0] += (
             jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                dsm, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
         ).astype(dk_ref.dtype)
         return 0
@@ -295,14 +331,17 @@ def flash_attention_bwd(
             spec_q, spec_k, spec_k, spec_q, spec_q,
         ],
         out_specs=(spec_q, spec_k, spec_k),
+        # f32 grads regardless of input dtype: dk/dv accumulate across
+        # q-blocks inside the kernel (see _flash_bwd_kernel dtype policy)
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, lq_p, dh), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lk_p, dh), k.dtype),
-            jax.ShapeDtypeStruct((b, h, lk_p, dh), v.dtype),
+            jax.ShapeDtypeStruct((b, h, lq_p, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lk_p, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lk_p, dh), jnp.float32),
         ),
         interpret=interpret,
     )(maskp, qp, kp, vp, op, dop)
-    return dq[:, :, :lq], dk[:, :, :lk], dv[:, :, :lk]
+    return (dq[:, :, :lq].astype(q.dtype), dk[:, :, :lk].astype(k.dtype),
+            dv[:, :, :lk].astype(v.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

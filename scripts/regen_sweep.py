@@ -78,6 +78,7 @@ def trial_name(t):
             + (f"_L{t['max_len']}" if t.get("max_len", 25) != 25 else "")
             + (f"_or{t['orep']}" if t.get("orep", 1) != 1 else "")
             + (f"_ml{t['minlen']}" if t.get("minlen", 2) != 2 else "")
+            + (f"_bw{t['beam']}" if t.get("beam", 1) != 1 else "")
             + (f"_s{t['seed']}" if t.get("seed", 2023) != 2023 else ""))
 
 
@@ -177,8 +178,10 @@ def main():
                     save()
                     continue
 
-            # ---- stage 3 (decode cached by tag2+γ+len) -----------------------
+            # ---- stage 3 (decode cached by tag2+γ+len(+beam)) ----------------
             tag3 = f"{tag2}_g{fmt(t['gamma'])}_L{t.get('max_len', 25)}"
+            if t.get("beam", 1) != 1:
+                tag3 += f"_bw{t['beam']}"
             cmd = [py, "scripts/hybrid_inference.py",
                    "--root_path", root_path, "--ckpt_name", regen_ckpt,
                    "--K", str(k), "--batch_size", "2048",
@@ -193,6 +196,8 @@ def main():
                 cmd += ["--original_repeat", str(t["orep"])]
             if t.get("minlen", 2) != 2:
                 cmd += ["--min_regen_len", str(t["minlen"])]
+            if t.get("beam", 1) != 1:
+                cmd += ["--beam_width", str(t["beam"])]
             rc, out = run_tpu(os.path.join(logdir, f"s3_{name}.log"), 600, 2400, cmd)
             if rc != 0:
                 results[name] = {"error": f"stage3 rc={rc}", "tail": out[-2000:]}

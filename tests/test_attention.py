@@ -92,3 +92,35 @@ def test_flash_backward_long_sequence(rng):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-4)
+
+
+def test_flash_bf16_operands_fwd_bwd(rng):
+    """bf16 inputs take the bf16-MXU-operand path (round-5 MFU work): both
+    kernels must stay within bf16 rounding of the f32 reference, and the
+    f32 path must remain bit-for-bit what it was (covered by the tests
+    above — this one pins the new branch)."""
+    from dr4sr_tpu.ops.attention import flash_attention_bwd
+
+    b, h, l, d = 2, 2, 50, 32
+    q, k, v = _rand_qkv(rng, b, h, l, d)
+    seqlen = np.array([50, 23])
+    mask = jnp.asarray(np.arange(l)[None, :] >= seqlen[:, None])
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    ref = mha_reference(q, k, v, mask, causal=True)
+    out = flash_attention(qb, kb, vb, mask, causal=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2)
+
+    g = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    o, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, mask, True), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = flash_attention_bwd(
+        qb, kb, vb, o.astype(jnp.bfloat16), g.astype(jnp.bfloat16), mask,
+        causal=True, interpret=True)
+    assert dq.dtype == jnp.bfloat16
+    for got, want in ((dq, dq_ref), (dk, dk_ref), (dv, dv_ref)):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=8e-2)
