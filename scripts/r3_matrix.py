@@ -123,6 +123,14 @@ def stage_jobs(stage):
                 jobs.append(
                     f"GNN:{ds}:_sw_ew1p0_g0p0_both_a5b2K5_or2_ml3:{seed_ov(s)}"
                 )
+    elif stage == 12:
+        # round-5: third seed for the remaining DR4SR+ rows (sport gets its
+        # extras from stage 5) so every DR4SR+ cell is n>=3 — the yelp meta
+        # row in particular sits inside seed noise (VERDICT r4 weak-#4)
+        for ds in ("amazon-toys", "yelp", "amazon-beauty"):
+            jobs.append(
+                f"MetaModel:{ds}:{REGEN_FILE[ds]}:{META_OV[ds]},{seed_ov(42)}"
+            )
     elif stage == 5:
         for s in EXTRA_SEEDS:
             jobs.append(
@@ -140,7 +148,7 @@ def stage_jobs(stage):
 
 # MetaModel bilevel runs are ~5-10x a plain run; beauty is the biggest
 STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700,
-                 7: 2700, 8: 2700, 9: 2700, 10: 2700, 11: 2700}
+                 7: 2700, 8: 2700, 9: 2700, 10: 2700, 11: 2700, 12: 5400}
 
 
 def main():
