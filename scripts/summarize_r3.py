@@ -170,6 +170,27 @@ def main():
                 mean, _, _ = paired_stats(deltas)
                 L.append(f"| {bb} | {ds} | **mean** |  |  | **{mean:+.4f}** |")
 
+    # ------- GNN on the r4 val-selected swept arms (round-5 stage 11) -------
+    # follow-up to the GNN-negative result: plain _regen hurt GNN on
+    # toys/yelp in r3/r4; does the sweep-winning mixture (or2+ml3 rebalance)
+    # behave differently?
+    arm = "_sw_ew1p0_g0p0_both_a5b2K5_or2_ml3"
+    rows = []
+    for ds in ("amazon-toys", "yelp"):
+        for seed in (2023, 7):
+            b, _ = cell(res, "GNN", ds, "_base", seed)
+            r, _ = cell(res, "GNN", ds, "_regen", seed)
+            a, _ = cell(res, "GNN", ds, arm, seed)
+            if a is None:
+                continue
+            d = None if b is None else a - b
+            rows.append(f"| {ds} | {seed} | {fmt(b)} | {fmt(r)} | {fmt(a)} | "
+                        f"{'—' if d is None else f'{d:+.4f}'} |")
+    if rows:
+        L += ["\n## GNN × r4 swept arms (round-5 stage 11)\n",
+              "| dataset | seed | base | plain regen | swept arm | "
+              "Δ(arm−base) |", "|---|---|---|---|---|---|"] + rows
+
     out_path = os.path.join(REPO, args.out)
     with open(out_path, "w") as f:
         f.write("\n".join(L) + "\n")
