@@ -1,0 +1,152 @@
+"""Where do the stress step's 90 ms actually go? (round-5 follow-up to
+results_stress_profile.json: attention+matmuls only explain ~30 ms.)
+
+Measures the full train step under controlled ablations:
+  * catalog size N ∈ {10k, 1M}       → table-dependent costs (dense Adam
+                                        over the [N, D] table, gathers)
+  * dropout 0.5 vs 0.0               → threefry RNG + mask cost
+  * rng_impl threefry vs rbg         → cheaper TPU RNG for dropout
+and A/Bs the exact top-k (grouped two-phase vs plain lax.top_k) at the
+1M-item eval shape.
+
+  python scripts/stress_decompose.py [--out results_stress_decompose.json]
+
+Run alone on the chip.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+from dr4sr_tpu.utils.env import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def build(batch_size, n_items, seq_len, embed_dim, dropout):
+    from dr4sr_tpu.data.dataset import RowData
+    from dr4sr_tpu.data.synthetic import synthetic_config
+    from dr4sr_tpu.models.base import RecModel
+    from dr4sr_tpu.models.registry import get_model_class
+
+    cfg = synthetic_config(max_seq_len=seq_len)
+    cfg["train"]["batch_size"] = batch_size
+    cfg["model"].update({"embed_dim": embed_dim,
+                         "hidden_size": 4 * embed_dim,
+                         "layer_num": 2, "head_num": 4,
+                         "dropout_rate": dropout})
+    cfg["data"]["max_seq_len"] = seq_len
+    rec = RecModel(cfg, get_model_class("SASRec").build(cfg, n_items),
+                   n_items, batch_size)
+    r = np.random.default_rng(0)
+    lens = r.integers(seq_len // 2, seq_len + 1, batch_size).astype(np.int32)
+    seq = np.zeros((batch_size, seq_len), np.int32)
+    tgt = np.zeros((batch_size, seq_len), np.int32)
+    for i in range(batch_size):
+        seq[i, : lens[i]] = r.integers(1, n_items, lens[i])
+        tgt[i, : lens[i]] = r.integers(1, n_items, lens[i])
+    rows = RowData(np.arange(batch_size, dtype=np.int32), seq, tgt, lens,
+                   np.ones((batch_size, seq_len), np.float32),
+                   np.zeros(batch_size, np.int32))
+    return rec, rows
+
+
+def step_ms(rec, rows, batch_size, n_steps=10):
+    import bench
+
+    sps, ms, _state, _reps = bench.bench_train(rec, rows, batch_size,
+                                               n_steps=n_steps)
+    return ms
+
+
+def topk_ab(n_items=1_000_000, b=128, d=256, k=100, iters=10):
+    from dr4sr_tpu.ops.topk import _exact_topk_grouped
+
+    r = np.random.default_rng(1)
+    q = jnp.asarray(r.normal(size=(b, d)), jnp.float32)
+    t = jnp.asarray(r.normal(size=(n_items, d)) / np.sqrt(d), jnp.float32)
+
+    def run(fn):
+        f = jax.jit(lambda q, t: fn(jnp.dot(q, t.T), k))
+        out = f(q, t)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(q, t)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    plain = run(lambda s, kk: jax.lax.top_k(s, kk))
+    out = {"plain_topk_ms": round(plain, 2)}
+    for group in (8192, 32768, 65536, 131072):
+        ms = run(lambda s, kk, g=group: _exact_topk_grouped(s, kk, group=g))
+        out[f"grouped_{group}_ms"] = round(ms, 2)
+    # matmul-only floor for context
+    f = jax.jit(lambda q, t: jnp.dot(q, t.T).sum())
+    jax.block_until_ready(f(q, t))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(f(q, t))
+    out["score_matmul_only_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="results_stress_decompose.json")
+    args = parser.parse_args()
+
+    B, L, D = 128, 512, 256
+    res = {"shape": f"B{B} L{L} D{D}", "device": str(jax.devices()[0]),
+           "train_step_ms": {}}
+
+    for tag, n, drop in (
+        ("N1M_drop0.5", 1_000_000, 0.5),
+        ("N1M_drop0.0", 1_000_000, 0.0),
+        ("N10k_drop0.5", 10_000, 0.5),
+        ("N10k_drop0.0", 10_000, 0.0),
+    ):
+        rec, rows = build(B, n, L, D, drop)
+        res["train_step_ms"][tag] = round(step_ms(rec, rows, B), 2)
+        print(tag, res["train_step_ms"][tag], flush=True)
+
+    # rbg rng: cheaper TPU dropout RNG (threefry is the jax default)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        rec, rows = build(B, 1_000_000, L, D, 0.5)
+        res["train_step_ms"]["N1M_drop0.5_rbg"] = round(step_ms(rec, rows, B), 2)
+        print("rbg", res["train_step_ms"]["N1M_drop0.5_rbg"], flush=True)
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    # fused-scan stress step: the trace shows device-busy ~21 ms/step vs
+    # 90 ms wall per-step-dispatch — if the fused path lands near the busy
+    # time, the stress gap is dispatch overhead, already solved by
+    # train.steps_per_dispatch (same conclusion as the bs256 workload)
+    import bench
+
+    rec, rows = build(B, 1_000_000, L, D, 0.5)
+    fsps, fms = bench.bench_train_fused(rec, rows, B, spd=10, n_dispatch=2)
+    res["train_step_ms"]["N1M_drop0.5_fused_spd10"] = round(fms, 2)
+    print("fused", round(fms, 2), flush=True)
+
+    res["eval_topk_ab"] = topk_ab()
+    print(json.dumps(res["eval_topk_ab"]), flush=True)
+
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
