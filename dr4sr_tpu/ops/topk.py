@@ -26,46 +26,25 @@ import jax.numpy as jnp
 NEG = -1e30
 
 
-_TOPK_GROUP = 8192  # rows per group in the two-phase exact top-k
-
-
-def _exact_topk_grouped(
-    scores: jax.Array, k: int, group: int = _TOPK_GROUP
-) -> Tuple[jax.Array, jax.Array]:
-    """Two-phase EXACT top-k for large catalogs (round-5 eval speedup).
-
-    ``lax.top_k`` over a 1M-wide row is a near-full sort; splitting the row
-    into G groups, taking top-k per group, and top-k-ing the G·k winners is
-    mathematically identical (every global top-k element is its group's
-    top-≤k) at O(N·log k) work. Tie semantics match ``lax.top_k`` (lowest
-    index wins): within a group by top_k itself, across groups because
-    earlier groups occupy earlier candidate positions.
-    """
-    b, n = scores.shape
-    if n <= 2 * group or k > group:
-        return jax.lax.top_k(scores, k)
-    g = -(-n // group)
-    pad = g * group - n
-    if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG)
-    sv, si = jax.lax.top_k(scores.reshape(b, g, group), k)  # [B, G, k]
-    si = si + (jnp.arange(g, dtype=si.dtype) * group)[None, :, None]
-    v, pos = jax.lax.top_k(sv.reshape(b, g * k), k)
-    return v, jnp.take_along_axis(si.reshape(b, g * k), pos, axis=1)
-
-
 def _topk(scores: jax.Array, k: int, method: str) -> Tuple[jax.Array, jax.Array]:
-    """Exact (grouped two-phase) top-k or TPU-accelerated ``approx_max_k``.
+    """Exact ``lax.top_k`` or TPU-accelerated ``lax.approx_max_k``.
 
     ``approx`` maps onto the TPU's partial-reduce MIPS unit (PanNN-style,
     recall_target=0.95 per reduced row) — worth it when the catalog is
     large (the 1M-item stress shape); at research-scale N≈12-20k the exact
     sort is already cheap. On non-TPU backends ``approx_max_k`` lowers to
     an exact top-k, so CPU tests check the contract, not the speedup.
+
+    A two-phase grouped exact top-k (per-group top-k → top-k of group
+    winners) was tried in round 5 and REVERTED: on v5e it measured 2-5x
+    SLOWER than the native ``lax.top_k`` at [128, 1M] (43 ms vs 88-205 ms
+    depending on group size; ``results_stress_decompose.json``
+    eval_topk_ab) — XLA's TopK already partial-sorts, and the extra
+    reshape/pad/gather passes cost more than they save.
     """
     if method == "approx":
         return jax.lax.approx_max_k(scores, k, recall_target=0.95)
-    return _exact_topk_grouped(scores, k)
+    return jax.lax.top_k(scores, k)
 
 
 def _apply_masks(

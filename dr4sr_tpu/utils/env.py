@@ -64,3 +64,15 @@ def setup_environment(train_config: Dict[str, Any]) -> None:
         import jax
 
         jax.config.update("jax_disable_jit", True)
+    if train_config.get("rng_impl"):
+        # train.rng_impl: rbg — the TPU-cheap counter RNG for dropout/
+        # sampling keys. The validated stress decomposition
+        # (results_stress_decompose.json) measured the B128/L512/D256/1M
+        # train step at 110 ms with the default threefry vs 64 ms with rbg
+        # (-42%): threefry mask generation is a major VPU cost at big
+        # activation shapes. Default stays threefry for bit-compatibility
+        # with earlier rounds' recorded runs.
+        import jax
+
+        jax.config.update("jax_default_prng_impl",
+                          str(train_config["rng_impl"]))

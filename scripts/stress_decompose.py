@@ -78,7 +78,7 @@ def step_ms(rec, rows, batch_size, n_steps=10):
             jax.tree_util.tree_leaves(state.params)[0])).ravel()[0])
         return time.perf_counter() - t0
 
-    # window() includes compile+warmup; difference isolates n extra steps
+    window(2)  # compile + first-dispatch warmup
     t1 = window(n_steps)
     t2 = window(2 * n_steps)
     ms = (t2 - t1) / n_steps * 1e3
@@ -88,7 +88,21 @@ def step_ms(rec, rows, batch_size, n_steps=10):
 
 
 def topk_ab(n_items=1_000_000, b=128, d=256, k=100, iters=10):
-    from dr4sr_tpu.ops.topk import _exact_topk_grouped
+    # grouped two-phase exact top-k, kept HERE as the measured-and-rejected
+    # alternative (round 5): on v5e it is 2-5x slower than native lax.top_k
+    def _exact_topk_grouped(scores, k, group=8192):
+        b_, n = scores.shape
+        if n <= 2 * group or k > group:
+            return jax.lax.top_k(scores, k)
+        g = -(-n // group)
+        pad = g * group - n
+        if pad:
+            scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                             constant_values=-1e30)
+        sv, si = jax.lax.top_k(scores.reshape(b_, g, group), k)
+        si = si + (jnp.arange(g, dtype=si.dtype) * group)[None, :, None]
+        v, pos = jax.lax.top_k(sv.reshape(b_, g * k), k)
+        return v, jnp.take_along_axis(si.reshape(b_, g * k), pos, axis=1)
 
     r = np.random.default_rng(1)
     q = jnp.asarray(r.normal(size=(b, d)), jnp.float32)

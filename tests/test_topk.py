@@ -93,26 +93,3 @@ def test_sharded_topk_parity(rng):
     np.testing.assert_allclose(np.asarray(s_scores), np.asarray(scores), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(s_items), np.asarray(items))
 
-
-def test_grouped_exact_topk_matches_plain():
-    """Round-5 large-catalog exact top-k: the two-phase grouped reduction
-    must equal lax.top_k exactly — values AND indices, including
-    lowest-index-wins tie-breaking — on wide rows with duplicates."""
-    import jax.numpy as jnp
-
-    from dr4sr_tpu.ops.topk import _exact_topk_grouped
-
-    r = np.random.default_rng(0)
-    # quantized scores force many cross-group ties
-    scores = jnp.asarray(
-        np.round(r.normal(size=(4, 40000)) * 3).astype(np.float32))
-    for k in (1, 10, 100):
-        v_ref, i_ref = jax.lax.top_k(scores, k)
-        v, i = _exact_topk_grouped(scores, k, group=4096)
-        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
-    # non-divisible width exercises the NEG padding
-    v_ref, i_ref = jax.lax.top_k(scores[:, :39001], 50)
-    v, i = _exact_topk_grouped(scores[:, :39001], 50, group=4096)
-    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
-    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
