@@ -123,6 +123,13 @@ def stage_jobs(stage):
                 jobs.append(
                     f"GNN:{ds}:_sw_ew1p0_g0p0_both_a5b2K5_or2_ml3:{seed_ov(s)}"
                 )
+    elif stage == 13:
+        # round-5: toys/yelp base/regen extra seeds so the DR4SR core table
+        # is n=4 on ALL datasets (sport/beauty got theirs in stage 3)
+        for ds in ("amazon-toys", "yelp"):
+            for s in EXTRA_SEEDS:
+                jobs.append(f"SASRec:{ds}::{seed_ov(s)}")
+                jobs.append(f"SASRec:{ds}:{REGEN_FILE[ds]}:{seed_ov(s)}")
     elif stage == 12:
         # round-5: third seed for the remaining DR4SR+ rows (sport gets its
         # extras from stage 5) so every DR4SR+ cell is n>=3 — the yelp meta
@@ -148,7 +155,8 @@ def stage_jobs(stage):
 
 # MetaModel bilevel runs are ~5-10x a plain run; beauty is the biggest
 STAGE_TIMEOUT = {1: 2700, 2: 5400, 3: 2700, 4: 2700, 5: 5400, 6: 2700,
-                 7: 2700, 8: 2700, 9: 2700, 10: 2700, 11: 2700, 12: 5400}
+                 7: 2700, 8: 2700, 9: 2700, 10: 2700, 11: 2700, 12: 5400,
+                 13: 2700}
 
 
 def main():
